@@ -1,0 +1,149 @@
+"""Data-layer tests: folder semantics, window indexing, labeling, loaders."""
+
+import numpy as np
+import pytest
+
+from vad_tpu.data.image_dataset import MVTecDataset
+from vad_tpu.data.loader import Loader, collate, device_prefetch
+from vad_tpu.data.video_dataset import (
+    IPADDataset,
+    VideoDataset,
+    VideoFileDataset,
+    detect_video_dataset_class,
+)
+
+
+class TestImageDataset:
+    def test_split_sizes(self, synthetic_image_root):
+        train = MVTecDataset(synthetic_image_root, "synthetic", "train", image_size=64)
+        test = MVTecDataset(synthetic_image_root, "synthetic", "test", image_size=64)
+        assert len(train) == 12
+        assert len(test) == 10  # 4 good + 6 defect
+
+    def test_labels_and_masks(self, synthetic_image_root):
+        test = MVTecDataset(synthetic_image_root, "synthetic", "test", image_size=64)
+        labels = test.labels
+        assert labels.sum() == 6  # defects
+        for i in range(len(test)):
+            s = test[i]
+            assert s["image"].shape == (64, 64, 3)
+            assert s["image"].min() >= -1.0 and s["image"].max() <= 1.0
+            assert s["mask"].shape == (64, 64)
+            if s["label"] == 0:
+                assert s["mask"].max() == 0.0
+            else:
+                assert s["mask"].max() > 0.0  # gt mask present and nonzero
+
+    def test_train_is_all_normal(self, synthetic_image_root):
+        train = MVTecDataset(synthetic_image_root, "synthetic", "train", image_size=64)
+        assert train.labels.sum() == 0
+
+    def test_missing_category_raises(self, synthetic_image_root):
+        with pytest.raises(ValueError):
+            MVTecDataset(synthetic_image_root, "does_not_exist")
+
+
+class TestLoader:
+    def test_batching_and_remainder(self, synthetic_image_root):
+        ds = MVTecDataset(synthetic_image_root, "synthetic", "test", image_size=64)
+        loader = Loader(ds, batch_size=4, num_workers=2)
+        batches = list(loader)
+        assert [b["image"].shape[0] for b in batches] == [4, 4, 2]
+        assert batches[0]["image"].shape == (4, 64, 64, 3)
+
+    def test_drop_remainder(self, synthetic_image_root):
+        ds = MVTecDataset(synthetic_image_root, "synthetic", "test", image_size=64)
+        loader = Loader(ds, batch_size=4, drop_remainder=True, num_workers=0)
+        assert [b["image"].shape[0] for b in loader] == [4, 4]
+
+    def test_shuffle_changes_order_but_not_content(self, synthetic_image_root):
+        ds = MVTecDataset(synthetic_image_root, "synthetic", "test", image_size=64)
+        loader = Loader(ds, batch_size=10, shuffle=True, num_workers=0, seed=1)
+        e1 = np.concatenate([b["label"] for b in loader])
+        e2 = np.concatenate([b["label"] for b in loader])  # next epoch reshuffles
+        assert sorted(e1.tolist()) == sorted(e2.tolist())
+
+    def test_device_prefetch_passthrough(self, synthetic_image_root):
+        ds = MVTecDataset(synthetic_image_root, "synthetic", "test", image_size=64)
+        loader = Loader(ds, batch_size=4, num_workers=2)
+        n = 0
+        for batch in device_prefetch(iter(loader)):
+            assert batch["image"].shape[1:] == (64, 64, 3)
+            n += batch["image"].shape[0]
+        assert n == len(ds)
+
+    def test_collate_meta_keys(self):
+        samples = [
+            {"x": np.zeros(2), "path": "a"},
+            {"x": np.ones(2), "path": "b"},
+        ]
+        batch = collate(samples)
+        assert batch["x"].shape == (2, 2)
+        assert batch["path"] == ["a", "b"]
+
+
+class TestVideoDatasets:
+    def test_ipad_window_count(self, synthetic_video_root):
+        # 24 frames, L=8, stride 4 -> (24-8)/4+1 = 5 windows per video
+        ds = IPADDataset(
+            synthetic_video_root, "S01", "train", sequence_length=8, stride=4, image_size=64
+        )
+        assert len(ds) == 2 * 5
+        s = ds[0]
+        assert s["frames"].shape == (8, 64, 64, 3)
+        assert s["label"] == 0
+
+    def test_ipad_any_frame_labeling(self, synthetic_video_root):
+        ds = IPADDataset(
+            synthetic_video_root, "S01", "test", sequence_length=8, stride=4, image_size=64
+        )
+        assert ds.has_frame_labels
+        # middle windows overlap the anomalous range -> label 1
+        labels = ds.labels
+        assert labels.max() == 1 and labels.min() == 0
+        for w in ds.windows:
+            assert w.label == int(np.any(w.frame_labels == 1))
+
+    def test_detect_dataset_class(self, synthetic_video_root, tmp_path):
+        assert detect_video_dataset_class(synthetic_video_root, "S01") is IPADDataset
+        (tmp_path / "cat" / "train" / "good").mkdir(parents=True)
+        assert detect_video_dataset_class(str(tmp_path), "cat") is VideoDataset
+
+    def test_generic_video_dataset_from_frame_folders(self, tmp_path, synthetic_video_root):
+        import shutil
+
+        # build generic layout from the IPAD fixture's frame folders
+        src = f"{synthetic_video_root}/S01/training/frames"
+        dst = tmp_path / "cat" / "train" / "good"
+        dst.mkdir(parents=True)
+        shutil.copytree(f"{src}/00", dst / "00")
+        ds = VideoDataset(str(tmp_path), "cat", "train", sequence_length=8, stride=8, image_size=64)
+        assert len(ds) == 3  # (24-8)/8+1
+        assert ds[0]["frames"].shape == (8, 64, 64, 3)
+
+    def test_video_file_dataset(self, tmp_path):
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+
+        path = create_synthetic_video_file(
+            str(tmp_path / "clip.mp4"), n_frames=30, image_size=64
+        )
+        ds = VideoFileDataset(path, sequence_length=8, stride=4, image_size=64)
+        assert len(ds) == (30 - 8) // 4 + 1
+        s = ds[0]
+        assert s["frames"].shape == (8, 64, 64, 3)
+        assert s["original_frames"].shape == (8, 64, 64, 3)
+        assert s["original_frames"].dtype == np.uint8
+
+    def test_sequential_read_consistency(self, tmp_path):
+        """Cached sequential decode must agree with fresh seeks."""
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+
+        path = create_synthetic_video_file(
+            str(tmp_path / "clip2.mp4"), n_frames=24, image_size=64
+        )
+        ds1 = VideoFileDataset(path, sequence_length=4, stride=4, image_size=64)
+        seq_order = [ds1[i]["frames"] for i in range(len(ds1))]
+        ds2 = VideoFileDataset(path, sequence_length=4, stride=4, image_size=64)
+        rev_order = [ds2[i]["frames"] for i in reversed(range(len(ds2)))][::-1]
+        for a, b in zip(seq_order, rev_order):
+            np.testing.assert_array_equal(a, b)

@@ -1,0 +1,281 @@
+"""Synthetic dataset generators (images and video).
+
+Deterministic, CPU-only fixtures that let the full train->evaluate
+pipeline run without downloads — the same role as reference
+utils/download_data.py:85-184 (gradient background + circle = normal;
+scratch-line or dark spot + matching ground-truth mask = defect), but
+drawn with vectorized numpy/cv2 instead of PIL ImageDraw.
+
+The video generator is new capability (the reference ships no synthetic
+video fixture): a circle orbits smoothly = normal; in anomalous clips a
+dark intruder blob appears for a contiguous frame range, and per-frame
+labels are written IPAD-style (test_label/<video>.npy) so frame-level
+AUROC is exercised end to end.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+try:  # optional; only needed to render mp4 variants
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+from PIL import Image
+
+
+def _gradient_bg(size: int) -> np.ndarray:
+    """Vertical gradient background, RGB uint8 [size, size, 3]."""
+    rows = np.arange(size, dtype=np.int32)
+    base = np.stack([50 + rows // 4, 50 + rows // 4, 60 + rows // 4], axis=-1)
+    return np.broadcast_to(base[:, None, :], (size, size, 3)).astype(np.uint8)
+
+
+def _disk_mask(size: int, cx: float, cy: float, radius: float) -> np.ndarray:
+    yy, xx = np.mgrid[0:size, 0:size]
+    return (xx - cx) ** 2 + (yy - cy) ** 2 <= radius**2
+
+
+def _ring_mask(size: int, cx: float, cy: float, radius: float, width: float) -> np.ndarray:
+    yy, xx = np.mgrid[0:size, 0:size]
+    d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+    return (d2 <= (radius + width / 2) ** 2) & (d2 >= (radius - width / 2) ** 2)
+
+
+def _normal_image(seed: int, size: int) -> np.ndarray:
+    """Clean circle on a gradient background (deterministic per seed)."""
+    rng = np.random.default_rng(seed)
+    img = _gradient_bg(size).copy()
+    center = size // 2
+    radius = (60 + int(rng.integers(-10, 10))) * size // 256
+    img[_disk_mask(size, center, center, radius)] = (200, 200, 210)
+    img[_ring_mask(size, center, center, radius, max(3 * size // 256, 2))] = (150, 150, 160)
+    return img
+
+
+def _line_mask(size: int, p1, p2, width: int) -> np.ndarray:
+    """Rasterize a thick line segment as a boolean mask (pure numpy)."""
+    n = max(abs(p2[0] - p1[0]), abs(p2[1] - p1[1]), 1) * 4
+    ts = np.linspace(0.0, 1.0, n)
+    xs = np.clip(np.round(p1[0] + ts * (p2[0] - p1[0])).astype(int), 0, size - 1)
+    ys = np.clip(np.round(p1[1] + ts * (p2[1] - p1[1])).astype(int), 0, size - 1)
+    mask = np.zeros((size, size), dtype=bool)
+    r = width // 2
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            mask[np.clip(ys + dy, 0, size - 1), np.clip(xs + dx, 0, size - 1)] = True
+    return mask
+
+
+def _defect_image(seed: int, size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Normal image plus a scratch or dark spot; returns (image, gt_mask)."""
+    img = _normal_image(seed, size).copy()
+    rng = np.random.default_rng(seed + 1000)
+    s = size / 256.0
+    if rng.random() > 0.5:  # scratch
+        x1 = int(rng.integers(int(80 * s), int(180 * s)))
+        y1 = int(rng.integers(int(80 * s), int(180 * s)))
+        x2 = x1 + int(rng.integers(int(-40 * s), int(40 * s)))
+        y2 = y1 + int(rng.integers(int(-40 * s), int(40 * s)))
+        draw = _line_mask(size, (x1, y1), (x2, y2), max(int(3 * s), 2))
+        gt = _line_mask(size, (x1, y1), (x2, y2), max(int(5 * s), 3))
+        img[draw] = (50, 50, 50)
+    else:  # spot
+        cx = int(rng.integers(int(100 * s), int(156 * s)))
+        cy = int(rng.integers(int(100 * s), int(156 * s)))
+        r = int(rng.integers(max(int(5 * s), 2), max(int(15 * s), 4)))
+        gt = _disk_mask(size, cx, cy, r)
+        img[gt] = (30, 30, 30)
+    return img, (gt.astype(np.uint8) * 255)
+
+
+def create_synthetic_image_data(
+    data_dir: str = "./data",
+    category: str = "synthetic",
+    n_train: int = 50,
+    n_test_good: int = 10,
+    n_test_defect: int = 20,
+    image_size: int = 256,
+) -> Path:
+    """Write an MVTec-format synthetic dataset.
+
+    Layout (consumed by MVTecDataset, matching reference dataset.py:90-124):
+        <data_dir>/<category>/train/good/NNN.png
+        <data_dir>/<category>/test/{good,defect}/NNN.png
+        <data_dir>/<category>/ground_truth/defect/NNN_mask.png
+    Seeds match the reference generator's offsets (train i, test-good
+    i+100, test-defect i+200; download_data.py:160-177).
+    """
+    base = Path(data_dir) / category
+    paths = {
+        "train": base / "train" / "good",
+        "good": base / "test" / "good",
+        "defect": base / "test" / "defect",
+        "gt": base / "ground_truth" / "defect",
+    }
+    for p in paths.values():
+        p.mkdir(parents=True, exist_ok=True)
+
+    for i in range(n_train):
+        Image.fromarray(_normal_image(i, image_size)).save(paths["train"] / f"{i:03d}.png")
+    for i in range(n_test_good):
+        Image.fromarray(_normal_image(i + 100, image_size)).save(paths["good"] / f"{i:03d}.png")
+    for i in range(n_test_defect):
+        img, mask = _defect_image(i + 200, image_size)
+        Image.fromarray(img).save(paths["defect"] / f"{i:03d}.png")
+        Image.fromarray(mask).save(paths["gt"] / f"{i:03d}_mask.png")
+    return base
+
+
+def _video_frame(
+    t: int, size: int, phase: float, speed: float, anomaly: bool, rng: np.random.Generator
+) -> np.ndarray:
+    """One frame: circle orbiting the center; optional intruder blob."""
+    img = _gradient_bg(size).copy()
+    center = size / 2
+    orbit_r = size * 0.27
+    ang = phase + speed * t
+    cx = center + orbit_r * np.cos(ang)
+    cy = center + orbit_r * np.sin(ang)
+    r = size * 0.11
+    img[_disk_mask(size, cx, cy, r)] = (200, 200, 210)
+    img[_ring_mask(size, cx, cy, r, max(size // 96, 2))] = (150, 150, 160)
+    if anomaly:
+        # dark intruder moving against the orbit
+        ix = size - cx
+        iy = size - cy
+        ir = size * 0.09 + rng.normal() * size * 0.01
+        img[_disk_mask(size, ix, iy, max(ir, 2))] = (25, 25, 30)
+    return img
+
+
+def create_synthetic_video_data(
+    data_dir: str = "./data",
+    category: str = "synthetic_video",
+    n_train_videos: int = 4,
+    n_test_videos: int = 4,
+    frames_per_video: int = 48,
+    image_size: int = 256,
+) -> Path:
+    """Write an IPAD-format synthetic video dataset.
+
+    Layout (consumed by IPADDataset, matching reference
+    video_dataset.py:76-111):
+        <data_dir>/<category>/training/frames/<vid>/NNNN.png
+        <data_dir>/<category>/testing/frames/<vid>/NNNN.png
+        <data_dir>/<category>/test_label/<vid>.npy    per-frame 0/1 labels
+
+    Training clips are all-normal orbits.  Each test clip contains one
+    anomalous frame range (the intruder blob) covering the middle ~40% of
+    the clip.
+    """
+    base = Path(data_dir) / category
+    train_frames = base / "training" / "frames"
+    test_frames = base / "testing" / "frames"
+    label_dir = base / "test_label"
+    for p in (train_frames, test_frames, label_dir):
+        p.mkdir(parents=True, exist_ok=True)
+
+    for v in range(n_train_videos):
+        rng = np.random.default_rng(10_000 + v)
+        vdir = train_frames / f"{v:02d}"
+        vdir.mkdir(exist_ok=True)
+        phase = rng.uniform(0, 2 * np.pi)
+        speed = rng.uniform(0.12, 0.2)
+        for t in range(frames_per_video):
+            frame = _video_frame(t, image_size, phase, speed, False, rng)
+            Image.fromarray(frame).save(vdir / f"{t:04d}.png")
+
+    for v in range(n_test_videos):
+        rng = np.random.default_rng(20_000 + v)
+        vdir = test_frames / f"{v:02d}"
+        vdir.mkdir(exist_ok=True)
+        phase = rng.uniform(0, 2 * np.pi)
+        speed = rng.uniform(0.12, 0.2)
+        a_start = int(frames_per_video * 0.3)
+        a_end = int(frames_per_video * 0.7)
+        labels = np.zeros(frames_per_video, dtype=np.int64)
+        labels[a_start:a_end] = 1
+        for t in range(frames_per_video):
+            frame = _video_frame(
+                t, image_size, phase, speed, bool(labels[t]), rng
+            )
+            Image.fromarray(frame).save(vdir / f"{t:04d}.png")
+        np.save(label_dir / f"{v:02d}.npy", labels)
+    return base
+
+
+def create_synthetic_video_file(
+    path: str,
+    n_frames: int = 120,
+    image_size: int = 256,
+    fps: float = 30.0,
+    anomaly_range: tuple[int, int] | None = None,
+    seed: int = 0,
+) -> str:
+    """Render a single synthetic .mp4 (for evaluate_video --video tests)."""
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("cv2 is required to write synthetic video files")
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi)
+    speed = 0.15
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (image_size, image_size)
+    )
+    try:
+        for t in range(n_frames):
+            anom = anomaly_range is not None and anomaly_range[0] <= t < anomaly_range[1]
+            frame = _video_frame(t, image_size, phase, speed, anom, rng)
+            writer.write(frame[:, :, ::-1])  # RGB -> BGR
+    finally:
+        writer.release()
+    return str(path)
+
+
+def main(argv=None) -> None:
+    """CLI mirroring reference utils/download_data.py:187-218."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Set up anomaly-detection datasets")
+    parser.add_argument(
+        "--method",
+        type=str,
+        default="synthetic",
+        choices=["synthetic", "synthetic-video", "kagglehub", "manual"],
+    )
+    parser.add_argument("--kaggle-path", type=str, default=None)
+    parser.add_argument("--data-dir", type=str, default="./data")
+    parser.add_argument("--category", type=str, default="synthetic")
+    args = parser.parse_args(argv)
+
+    if args.method == "synthetic":
+        path = create_synthetic_image_data(args.data_dir, args.category)
+        print(f"Synthetic image dataset created at: {path.absolute()}")
+    elif args.method == "synthetic-video":
+        path = create_synthetic_video_data(args.data_dir, args.category)
+        print(f"Synthetic video dataset created at: {path.absolute()}")
+    elif args.method == "kagglehub":
+        print(
+            "Programmatic download needs kaggle credentials + network; "
+            "download https://www.kaggle.com/datasets/ipythonx/mvtec-ad "
+            "manually and pass --method manual --kaggle-path <dir>."
+        )
+    else:  # manual
+        if not args.kaggle_path:
+            print("Pass --kaggle-path /path/to/extracted/mvtec to install it.")
+            return
+        import shutil
+
+        src, dst = Path(args.kaggle_path), Path(args.data_dir)
+        dst.mkdir(parents=True, exist_ok=True)
+        for cat in sorted(p.name for p in src.iterdir() if p.is_dir()):
+            if not (dst / cat).exists():
+                print(f"Copying {cat}...")
+                shutil.copytree(src / cat, dst / cat)
+        print(f"Dataset ready at: {dst.absolute()}")
+
+
+if __name__ == "__main__":
+    main()

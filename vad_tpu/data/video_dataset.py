@@ -1,0 +1,336 @@
+"""Video datasets: IPAD format, generic folders, single video files.
+
+Window indexing is pure metadata (like reference video_dataset.py:114-131):
+a dataset is a list of (source, start_frame, label) windows; frames decode
+lazily at access time.  Semantics parity with the reference:
+
+- IPAD layout `<cat>/training|testing/frames/<vid>/` with per-frame labels
+  in `<cat>/test_label/<vid>.npy`; a window is anomalous iff ANY frame in
+  it is anomalous (video_dataset.py:119-121).
+- Generic layout `<cat>/<split>/<label_folder>/` holding video files
+  (.mp4/.avi/.mov/.mkv) or frame folders; label 0 iff the folder is named
+  good/normal/train (video_dataset.py:219).
+- Single-file dataset over stride-S windows for inference
+  (video_dataset.py:332-402).
+
+TPU-first difference: the reference re-opens the video and seeks for every
+window (video_dataset.py:379-394).  Here each dataset keeps per-thread
+cv2.VideoCapture handles and detects sequential access, so dense stride-1
+scoring reads each frame once instead of 16 times.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from vad_tpu.data.image_dataset import IMAGE_EXTS, load_image
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
+
+
+def _normalize_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
+    """uint8 RGB frame -> resized float32 [-1, 1] HWC."""
+    if frame_rgb.shape[0] != image_size or frame_rgb.shape[1] != image_size:
+        frame_rgb = cv2.resize(
+            frame_rgb, (image_size, image_size), interpolation=cv2.INTER_LINEAR
+        )
+    return frame_rgb.astype(np.float32) / 127.5 - 1.0
+
+
+@dataclass
+class Window:
+    """One sliding-window sample (metadata only; frames decode lazily)."""
+
+    source: Union[str, Tuple[str, ...]]  # video path or frame-path tuple
+    start: int
+    label: int
+    label_name: str
+    video_id: str
+    frame_labels: Optional[np.ndarray] = None  # per-frame 0/1, test only
+
+
+class _CaptureCache:
+    """Per-thread cv2.VideoCapture pool with sequential-read detection."""
+
+    def __init__(self) -> None:
+        self._local = threading.local()
+
+    def read_window(self, path: str, start: int, length: int) -> List[np.ndarray]:
+        if cv2 is None:  # pragma: no cover
+            raise RuntimeError("cv2 is required to decode video files")
+        store = getattr(self._local, "caps", None)
+        if store is None:
+            store = self._local.caps = {}
+        cap, pos = store.get(path, (None, -1))
+        if cap is None:
+            cap = cv2.VideoCapture(path)
+            pos = 0
+        if pos != start:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            pos = start
+        frames: List[np.ndarray] = []
+        for _ in range(length):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            pos += 1
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        store[path] = (cap, pos)
+        # Short reads (corrupt tail) are padded with the last frame so
+        # batch shapes stay static for jit.
+        while frames and len(frames) < length:
+            frames.append(frames[-1])
+        return frames
+
+
+class _WindowDataset:
+    """Shared base: window list + lazy decode + dict samples."""
+
+    def __init__(self, sequence_length: int, stride: int, image_size: int) -> None:
+        self.sequence_length = sequence_length
+        self.stride = stride
+        self.image_size = image_size
+        self.windows: List[Window] = []
+        self._caps = _CaptureCache()
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.array([w.label for w in self.windows], dtype=np.int64)
+
+    def _decode(self, w: Window) -> np.ndarray:
+        if isinstance(w.source, str):
+            raw = self._caps.read_window(w.source, w.start, self.sequence_length)
+            frames = [_normalize_frame(f, self.image_size) for f in raw]
+        else:
+            paths = w.source[w.start : w.start + self.sequence_length]
+            frames = [load_image(p, self.image_size) for p in paths]
+        return np.stack(frames)  # [T, H, W, 3]
+
+    def __getitem__(self, idx: int) -> Dict:
+        w = self.windows[idx]
+        sample = {
+            "frames": self._decode(w),
+            "label": np.int64(w.label),
+            "start_frame": np.int64(w.start),
+            "video": w.video_id,
+        }
+        if w.frame_labels is not None:
+            sample["frame_labels"] = w.frame_labels.astype(np.int64)
+        else:
+            # uniform keys across samples so batches stack cleanly
+            sample["frame_labels"] = np.full(self.sequence_length, w.label, dtype=np.int64)
+        return sample
+
+    @property
+    def has_frame_labels(self) -> bool:
+        return any(w.frame_labels is not None for w in self.windows)
+
+    def _add_windows(
+        self,
+        source: Union[str, Tuple[str, ...]],
+        total: int,
+        label: int,
+        label_name: str,
+        video_id: str,
+        frame_labels: Optional[np.ndarray],
+    ) -> None:
+        if total < self.sequence_length:
+            return
+        for start in range(0, total - self.sequence_length + 1, self.stride):
+            end = start + self.sequence_length
+            fl = None
+            win_label = label
+            if frame_labels is not None:
+                fl = np.asarray(frame_labels[start:end])
+                # anomalous iff ANY frame in the window is anomalous
+                win_label = int(np.any(fl == 1))
+            self.windows.append(
+                Window(source, start, win_label, label_name, video_id, fl)
+            )
+
+
+class IPADDataset(_WindowDataset):
+    """IPAD-format dataset (reference video_dataset.py:25-152)."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        category: str,
+        split: str = "train",
+        sequence_length: int = 16,
+        stride: int = 4,
+        image_size: int = 256,
+    ) -> None:
+        super().__init__(sequence_length, stride, image_size)
+        root = Path(root_dir) / category
+        if split == "train":
+            frames_dir = root / "training" / "frames"
+            labels_dir = None
+        else:
+            frames_dir = root / "testing" / "frames"
+            labels_dir = root / "test_label"
+        if not frames_dir.exists():
+            raise FileNotFoundError(f"Dataset not found at {frames_dir}")
+
+        for video_folder in sorted(frames_dir.iterdir()):
+            if not video_folder.is_dir():
+                continue
+            vid = video_folder.name
+            paths = tuple(
+                str(f)
+                for f in sorted(video_folder.iterdir())
+                if f.suffix.lower() in IMAGE_EXTS
+            )
+            frame_labels = None
+            if labels_dir is not None:
+                # both zero-padded-numeric and literal naming conventions
+                candidates = [labels_dir / f"{vid}.npy"]
+                try:
+                    candidates.insert(0, labels_dir / f"{int(vid):03d}.npy")
+                except ValueError:
+                    pass
+                for c in candidates:
+                    if c.exists():
+                        frame_labels = np.load(c)
+                        break
+            self._add_windows(paths, len(paths), 0, "normal", vid, frame_labels)
+
+
+class VideoDataset(_WindowDataset):
+    """Generic `<cat>/<split>/<label_folder>/` dataset of video files or
+    frame folders (reference video_dataset.py:155-329)."""
+
+    NORMAL_FOLDERS = ("good", "normal", "train")
+
+    def __init__(
+        self,
+        root_dir: str,
+        category: str,
+        split: str = "train",
+        sequence_length: int = 16,
+        stride: int = 4,
+        image_size: int = 256,
+    ) -> None:
+        super().__init__(sequence_length, stride, image_size)
+        split_dir = Path(root_dir) / category / split
+        if not split_dir.exists():
+            raise FileNotFoundError(f"Dataset not found at {split_dir}")
+
+        for label_folder in sorted(split_dir.iterdir()):
+            if not label_folder.is_dir():
+                continue
+            name = label_folder.name
+            label = 0 if name in self.NORMAL_FOLDERS else 1
+            for entry in sorted(label_folder.iterdir()):
+                if entry.suffix.lower() in VIDEO_EXTS:
+                    total = self._probe_video(str(entry))
+                    self._add_windows(str(entry), total, label, name, entry.stem, None)
+                elif entry.is_dir():
+                    paths = tuple(
+                        str(f)
+                        for f in sorted(entry.iterdir())
+                        if f.suffix.lower() in IMAGE_EXTS
+                    )
+                    self._add_windows(paths, len(paths), label, name, entry.name, None)
+
+    @staticmethod
+    def _probe_video(path: str) -> int:
+        if cv2 is None:  # pragma: no cover
+            raise RuntimeError("cv2 is required to index video files")
+        cap = cv2.VideoCapture(path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return total
+
+
+class VideoFileDataset(_WindowDataset):
+    """Stride-S windows over one video file, for inference on uploads
+    (reference video_dataset.py:332-402).
+
+    Samples additionally carry the raw uint8 frames (resized to
+    image_size) for visualization overlays.
+    """
+
+    def __init__(
+        self,
+        video_path: str,
+        sequence_length: int = 16,
+        stride: int = 1,
+        image_size: int = 256,
+        return_original: bool = True,
+    ) -> None:
+        super().__init__(sequence_length, stride, image_size)
+        self.video_path = str(video_path)
+        self.return_original = return_original
+        if cv2 is None:  # pragma: no cover
+            raise RuntimeError("cv2 is required to read video files")
+        cap = cv2.VideoCapture(self.video_path)
+        self.total_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        cap.release()
+        self._add_windows(
+            self.video_path, self.total_frames, 0, "normal", Path(video_path).stem, None
+        )
+
+    def __getitem__(self, idx: int) -> Dict:
+        w = self.windows[idx]
+        raw = self._caps.read_window(w.source, w.start, self.sequence_length)
+        sample = {
+            "frames": np.stack([_normalize_frame(f, self.image_size) for f in raw]),
+            "start_frame": np.int64(w.start),
+        }
+        if self.return_original:
+            size = (self.image_size, self.image_size)
+            sample["original_frames"] = np.stack(
+                [
+                    f
+                    if f.shape[:2] == size
+                    else cv2.resize(f, size, interpolation=cv2.INTER_LINEAR)
+                    for f in raw
+                ]
+            )
+        return sample
+
+
+def detect_video_dataset_class(root_dir: str, category: str):
+    """IPAD iff `<cat>/training/frames` exists, else generic layout
+    (reference train_video.py:30-41)."""
+    if (Path(root_dir) / category / "training" / "frames").exists():
+        return IPADDataset
+    return VideoDataset
+
+
+def get_video_dataloaders(
+    root_dir: str,
+    category: str,
+    sequence_length: int = 16,
+    stride: int = 4,
+    batch_size: int = 8,
+    image_size: int = 256,
+    num_workers: int = 4,
+):
+    """Train/test loader pair (reference video_dataset.py:405-456)."""
+    from vad_tpu.data.loader import Loader
+
+    cls = detect_video_dataset_class(root_dir, category)
+    train = cls(root_dir, category, "train", sequence_length, stride, image_size)
+    test = cls(root_dir, category, "test", sequence_length, stride, image_size)
+    return (
+        Loader(train, batch_size, shuffle=True, num_workers=num_workers, seed=0),
+        Loader(test, batch_size, shuffle=False, num_workers=num_workers),
+    )

@@ -1,0 +1,149 @@
+"""Convolutional autoencoder for image anomaly detection (Flax / NHWC).
+
+Capability parity with reference models/autoencoder.py (1,546,147 params at
+defaults), designed TPU-first rather than translated:
+
+- NHWC activation layout (TPU-preferred); callers at the numpy boundary
+  work in HWC images directly, no NCHW transposes on device.
+- BatchNorm via Flax ``batch_stats`` collection with explicit
+  train/inference switching (reference relies on nn.Module.train()/eval()).
+- Scoring (`reconstruction_error`) reproduces the reference's reduction
+  order exactly: squared error, mean over channels first, then optional
+  spatial mean (reference autoencoder.py:199-221) — the published score
+  values and the 0.004 UI threshold depend on it.
+
+The model is trained only on normal images; anomalies score high because
+the decoder never learned to reproduce them.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Xavier/Glorot normal for conv kernels, zeros for bias — matches the
+# reference init policy (autoencoder.py:170-179).  JAX computes conv fan-in
+# as in_channels * receptive_field, same as torch.
+conv_init = nn.initializers.xavier_normal()
+
+
+class EncoderBlock(nn.Module):
+    """Two Conv3x3+BN+LeakyReLU(0.2) stages followed by 2x2 max-pool.
+
+    One block halves the spatial dims (reference autoencoder.py:38-79).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class Encoder(nn.Module):
+    """256x256x3 -> 16x16xlatent feature pyramid.
+
+    Channels 3->32->64->128->latent, spatial /2 per block
+    (reference autoencoder.py:24-86).
+    """
+
+    latent_dim: int = 256
+
+    @property
+    def widths(self) -> Sequence[int]:
+        return (32, 64, 128, self.latent_dim)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for w in self.widths:
+            x = EncoderBlock(w)(x, train)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """ConvTranspose(2x2, stride 2) upsample + Conv3x3 refine, BN+ReLU.
+
+    Mirrors reference autoencoder.py:103-130.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.features, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.relu(x)
+
+
+class Decoder(nn.Module):
+    """16x16xlatent -> 256x256xC reconstruction; tanh output in [-1, 1].
+
+    Channel schedule latent->128->64->32->(32->C) with a final
+    upsample+conv+tanh block (reference autoencoder.py:89-146).  The tanh
+    matches the [-1, 1] input normalization contract (SURVEY §2.2).
+    """
+
+    out_channels: int = 3
+    latent_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for w in (128, 64, 32):
+            x = DecoderBlock(w)(x, train)
+        # Final block: upsample to full resolution, project to image
+        # channels, squash to the input range.
+        x = nn.ConvTranspose(32, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        return jnp.tanh(x)
+
+
+class ConvAutoencoder(nn.Module):
+    """Encoder∘Decoder with anomaly scoring.
+
+    API parity with reference autoencoder.py:149-221 (`forward`,
+    `get_latent`, `get_reconstruction_error`) via ``method=`` apply calls:
+    ``model.apply(vars, x, method=ConvAutoencoder.reconstruction_error)``.
+    """
+
+    in_channels: int = 3
+    latent_dim: int = 256
+
+    def setup(self) -> None:
+        self.encoder = Encoder(self.latent_dim)
+        self.decoder = Decoder(self.in_channels, self.latent_dim)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.decoder(self.encoder(x, train), train)
+
+    def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Latent representation without decoding."""
+        return self.encoder(x, train)
+
+    def error_map(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-pixel anomaly map [B, H, W]: channel-mean squared error."""
+        recon = self(x, train=False)
+        return jnp.mean(jnp.square(x - recon), axis=-1)
+
+    def reconstruction_error(self, x: jnp.ndarray, per_pixel: bool = False) -> jnp.ndarray:
+        """Anomaly score: [B, H, W] map if per_pixel else [B] scalars.
+
+        Channel-mean first, then spatial mean — the reference's exact
+        reduction order (autoencoder.py:211-221).
+        """
+        err = self.error_map(x)
+        if per_pixel:
+            return err
+        return jnp.mean(err, axis=(1, 2))

@@ -1,0 +1,281 @@
+"""ConvLSTM video autoencoder for temporal anomaly detection (Flax / NHWC).
+
+Capability parity with reference models/video_autoencoder.py (2,709,411
+params at defaults), re-designed for TPU:
+
+- The reference iterates Python loops over layers AND timesteps, invoking a
+  fresh concat+conv per step (video_autoencoder.py:153-167).  Here the time
+  loop is `lax.scan`, and the gate convolution is algebraically split into
+  conv(x, Wx) + conv(h, Wh): the input half is precomputed for ALL frames
+  as one large batched convolution (pure MXU work, parallel over B*T)
+  before the scan, so the sequential recurrence only carries the small
+  hidden-state convolution.
+- The recurrence itself has two interchangeable backends over the *same*
+  parameters: an XLA `lax.scan` (used for training / autodiff) and a fused
+  Pallas TPU kernel that keeps (h, c) resident in VMEM across timesteps
+  (used on the scoring path; see vad_tpu/ops/convlstm_pallas.py).
+- Frames flow through the 2D encoder/decoder as one [B*T, H, W, C] batch —
+  the reference's reshape trick (video_autoencoder.py:222-229), which is
+  already the right shape for the MXU.
+
+Gate math parity (video_autoencoder.py:67-83): gates split in (i, f, g, o)
+order; c' = sigmoid(f)*c + sigmoid(i)*tanh(g); h' = sigmoid(o)*tanh(c').
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+conv_init = nn.initializers.xavier_normal()
+
+
+def convlstm_step(
+    gates_x_t: jnp.ndarray,
+    h: jnp.ndarray,
+    c: jnp.ndarray,
+    w_h: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One ConvLSTM update given the precomputed input contribution.
+
+    Args:
+        gates_x_t: conv(x_t, Wx) + bias, [B, H, W, 4*hidden].
+        h, c: previous hidden / cell state, [B, H, W, hidden].
+        w_h: hidden-to-gates conv kernel, [k, k, hidden, 4*hidden].
+
+    Returns:
+        (h_next, c_next).  Matches reference video_autoencoder.py:67-83.
+    """
+    gates = gates_x_t + jax.lax.conv_general_dilated(
+        h, w_h, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_next = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
+    return h_next, c_next
+
+
+class ConvLSTMCell(nn.Module):
+    """Single ConvLSTM cell (step-at-a-time API, for streaming inference).
+
+    Holds one fused gate convolution over concat([x, h]) producing
+    4*hidden channels, like reference video_autoencoder.py:24-91 — but the
+    kernel is stored once and shared with the scan/Pallas layer paths.
+    """
+
+    input_dim: int
+    hidden_dim: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_init, (k, k, self.input_dim + self.hidden_dim, 4 * self.hidden_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (4 * self.hidden_dim,))
+        h, c = state
+        w_x = kernel[:, :, : self.input_dim, :]
+        w_h = kernel[:, :, self.input_dim :, :]
+        gates_x = (
+            jax.lax.conv_general_dilated(
+                x, w_x, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + bias
+        )
+        return convlstm_step(gates_x, h, c, w_h)
+
+    @staticmethod
+    def init_state(batch: int, height: int, width: int, hidden_dim: int, dtype=jnp.float32):
+        shape = (batch, height, width, hidden_dim)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+class ConvLSTMLayer(nn.Module):
+    """One ConvLSTM layer scanned over the full time axis.
+
+    ``backend='xla'`` runs the recurrence as `lax.scan` (autodiff-friendly,
+    used in training).  ``backend='pallas'`` dispatches to the fused VMEM-
+    resident TPU kernel over identical parameters (scoring path).
+    """
+
+    input_dim: int
+    hidden_dim: int
+    kernel_size: int = 3
+    backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x_seq: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, H, W, input_dim] -> [B, T, H, W, hidden_dim]."""
+        b, t, hgt, wid, _ = x_seq.shape
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_init, (k, k, self.input_dim + self.hidden_dim, 4 * self.hidden_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (4 * self.hidden_dim,))
+        w_x = kernel[:, :, : self.input_dim, :]
+        w_h = kernel[:, :, self.input_dim :, :]
+
+        # Input contribution for every frame in one large batched conv —
+        # MXU-parallel over B*T, hoisted out of the sequential recurrence.
+        flat = x_seq.reshape(b * t, hgt, wid, self.input_dim)
+        gates_x = (
+            jax.lax.conv_general_dilated(
+                flat, w_x, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + bias
+        ).reshape(b, t, hgt, wid, 4 * self.hidden_dim)
+
+        if self.backend == "pallas":
+            from vad_tpu.ops.convlstm_pallas import convlstm_recurrence_pallas
+
+            return convlstm_recurrence_pallas(gates_x, w_h)
+
+        h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), x_seq.dtype)
+        c0 = jnp.zeros_like(h0)
+
+        def step(carry, gates_x_t):
+            h, c = carry
+            h, c = convlstm_step(gates_x_t, h, c, w_h)
+            return (h, c), h
+
+        # Scan over time (axis moved to leading): constant memory per step.
+        _, h_seq = jax.lax.scan(step, (h0, c0), jnp.moveaxis(gates_x, 1, 0))
+        return jnp.moveaxis(h_seq, 0, 1)
+
+
+class ConvLSTM(nn.Module):
+    """Stack of ConvLSTM layers (reference video_autoencoder.py:94-179).
+
+    Returns the last layer's full hidden sequence, matching the reference's
+    ``return_all_layers=False`` default.
+    """
+
+    input_dim: int
+    hidden_dim: int = 128
+    num_layers: int = 2
+    kernel_size: int = 3
+    backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x_seq: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            in_dim = self.input_dim if i == 0 else self.hidden_dim
+            x_seq = ConvLSTMLayer(
+                in_dim, self.hidden_dim, self.kernel_size, backend=self.backend
+            )(x_seq)
+        return x_seq
+
+
+class VideoEncoder(nn.Module):
+    """Per-frame spatial encoder: 4x (Conv3x3+BN+LeakyReLU+MaxPool).
+
+    Channels 3->32->64->128->latent, spatial /16 total (reference
+    video_autoencoder.py:182-231).  Accepts [B, H, W, C] or [B, T, H, W, C];
+    sequences are flattened to one [B*T, ...] batch.
+    """
+
+    latent_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        seq_shape = None
+        if x.ndim == 5:
+            b, t = x.shape[:2]
+            seq_shape = (b, t)
+            x = x.reshape(b * t, *x.shape[2:])
+        for w in (32, 64, 128, self.latent_dim):
+            x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if seq_shape is not None:
+            x = x.reshape(*seq_shape, *x.shape[1:])
+        return x
+
+
+class VideoDecoder(nn.Module):
+    """Per-frame decoder: 4x ConvTranspose(2x2, stride 2), tanh output.
+
+    Channels latent->128->64->32->out (reference
+    video_autoencoder.py:234-276).
+    """
+
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        seq_shape = None
+        if x.ndim == 5:
+            b, t = x.shape[:2]
+            seq_shape = (b, t)
+            x = x.reshape(b * t, *x.shape[2:])
+        for w in (128, 64, 32):
+            x = nn.ConvTranspose(w, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(
+            self.out_channels, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init
+        )(x)
+        x = jnp.tanh(x)
+        if seq_shape is not None:
+            x = x.reshape(*seq_shape, *x.shape[1:])
+        return x
+
+
+class VideoAutoencoder(nn.Module):
+    """Encoder -> ConvLSTM -> (1x1 projection) -> Decoder.
+
+    API parity with reference video_autoencoder.py:279-384; the 1x1
+    projection only exists when lstm_hidden_dim != latent_dim, exactly like
+    the reference's Identity fallback (video_autoencoder.py:311-312).
+    """
+
+    in_channels: int = 3
+    latent_dim: int = 128
+    lstm_hidden_dim: int = 128
+    lstm_layers: int = 2
+    backend: str = "xla"
+
+    def setup(self) -> None:
+        self.encoder = VideoEncoder(self.latent_dim)
+        self.convlstm = ConvLSTM(
+            input_dim=self.latent_dim,
+            hidden_dim=self.lstm_hidden_dim,
+            num_layers=self.lstm_layers,
+            backend=self.backend,
+        )
+        if self.lstm_hidden_dim != self.latent_dim:
+            self.proj = nn.Conv(self.latent_dim, (1, 1), kernel_init=conv_init)
+        self.decoder = VideoDecoder(self.in_channels)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """[B, T, H, W, C] -> reconstructed [B, T, H, W, C]."""
+        z = self.encoder(x, train)
+        z = self.convlstm(z)
+        if self.lstm_hidden_dim != self.latent_dim:
+            z = self.proj(z)  # 1x1 conv; flax Conv handles the [B, T] batch dims
+        return self.decoder(z, train)
+
+    def error_map(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-pixel, per-frame anomaly map [B, T, H, W]."""
+        recon = self(x, train=False)
+        return jnp.mean(jnp.square(x - recon), axis=-1)
+
+    def reconstruction_error(
+        self, x: jnp.ndarray, per_frame: bool = False, per_pixel: bool = False
+    ) -> jnp.ndarray:
+        """Anomaly scores at sequence [B], frame [B, T], or pixel [B, T, H, W]
+        granularity — reduction order per reference
+        video_autoencoder.py:356-384."""
+        err = self.error_map(x)
+        if per_pixel:
+            return err
+        if per_frame:
+            return jnp.mean(err, axis=(2, 3))
+        return jnp.mean(err, axis=(1, 2, 3))

@@ -1,0 +1,118 @@
+"""Reconstruction losses: MSE, SSIM, and their weighted combination.
+
+Functional JAX equivalents of reference utils/losses.py with identical
+constants: 11x11 Gaussian window with sigma=1.5, C1=0.01^2, C2=0.03^2
+(losses.py:34-49, 83-84).  SSIM's local statistics are depthwise
+convolutions, which map 1:1 onto `lax.conv_general_dilated` with
+``feature_group_count=C`` — XLA fuses the surrounding elementwise algebra.
+
+All functions take NHWC (or [B, T, H, W, C], flattened internally) arrays
+in the framework's [-1, 1] range and return scalar losses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
+    """Normalized 2D Gaussian [size, size] (outer product of 1D)."""
+    coords = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def _flatten_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    if x.ndim == 5:  # [B, T, H, W, C] video batches
+        return x.reshape(-1, *x.shape[2:])
+    return x
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error over all elements."""
+    return jnp.mean(jnp.square(pred - target))
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM map between two NHWC batches.
+
+    Local means/variances/covariance via Gaussian-weighted depthwise conv
+    with SAME padding, then the standard SSIM ratio (reference
+    losses.py:70-90).
+    """
+    pred = _flatten_to_nhwc(pred)
+    target = _flatten_to_nhwc(target)
+    channels = pred.shape[-1]
+    # Depthwise kernel [k, k, 1, C] with feature_group_count=C.
+    win = _gaussian_window(window_size, sigma).astype(pred.dtype)
+    kernel = jnp.tile(win[:, :, None, None], (1, 1, 1, channels))
+
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        rhs=kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=channels,
+    )
+
+    mu_p = conv(pred)
+    mu_t = conv(target)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+
+    var_p = conv(pred * pred) - mu_pp
+    var_t = conv(target * target) - mu_tt
+    cov = conv(pred * target) - mu_pt
+
+    c1 = 0.01**2
+    c2 = 0.03**2
+    ssim_map = ((2.0 * mu_pt + c1) * (2.0 * cov + c2)) / (
+        (mu_pp + mu_tt + c1) * (var_p + var_t + c2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def ssim_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """1 - SSIM, so lower is better (reference losses.py:93)."""
+    return 1.0 - ssim(pred, target, window_size, sigma)
+
+
+def combined_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    alpha: float = 0.5,
+    window_size: int = 11,
+) -> jnp.ndarray:
+    """(1-alpha)*MSE + alpha*SSIM-loss (reference losses.py:96-121)."""
+    return (1.0 - alpha) * mse_loss(pred, target) + alpha * ssim_loss(
+        pred, target, window_size
+    )
+
+
+def make_loss_fn(name: str, ssim_weight: float = 0.5):
+    """Resolve a loss by CLI name {mse, ssim, combined} (reference
+    train.py:149-158)."""
+    if name == "mse":
+        return mse_loss
+    if name == "ssim":
+        return ssim_loss
+    if name == "combined":
+        return functools.partial(combined_loss, alpha=ssim_weight)
+    raise ValueError(f"unknown loss '{name}' (expected mse|ssim|combined)")
