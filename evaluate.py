@@ -1,0 +1,25 @@
+"""Evaluate the image anomaly-detection model (CLI).
+
+Flag-compatible with reference evaluate.py:285-294.
+
+Usage:
+    python evaluate.py --checkpoint results/bottle_xxx/best_model.ckpt
+"""
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Evaluate anomaly detection model")
+    parser.add_argument("--checkpoint", type=str, required=True, help="Path to model checkpoint")
+    parser.add_argument("--category", type=str, default=None,
+                        help="Dataset category (default: from checkpoint)")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="Path to dataset (default: from checkpoint)")
+    return parser
+
+
+if __name__ == "__main__":
+    from vad_tpu.eval.image_eval import evaluate
+
+    evaluate(build_parser().parse_args())

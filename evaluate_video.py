@@ -1,0 +1,51 @@
+"""Evaluate the video anomaly-detection model (CLI).
+
+Flag-compatible with reference evaluate_video.py:407-423.  Two modes:
+dataset evaluation (default) and single-video annotated-output inference
+(--video), which streams the ConvLSTM state across chunks so every frame
+is scored exactly once.
+
+Usage:
+    python evaluate_video.py --checkpoint results/video_S01_xxx/best_model.ckpt
+    python evaluate_video.py --checkpoint ... --video clip.mp4 --output-video out.mp4
+"""
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Evaluate video anomaly detection model")
+    parser.add_argument("--checkpoint", type=str, required=True, help="Path to model checkpoint")
+    parser.add_argument("--data-dir", type=str, default="./data/IPAD", help="Path to dataset")
+    parser.add_argument("--category", type=str, default=None,
+                        help="Dataset category (auto-detected from checkpoint if not provided)")
+    parser.add_argument("--batch-size", type=int, default=4, help="Batch size for evaluation")
+    parser.add_argument("--video", type=str, default=None,
+                        help="Path to single video file for inference")
+    parser.add_argument("--output-video", type=str, default=None,
+                        help="Path for output annotated video")
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    print("=" * 60)
+    print("VIDEO ANOMALY DETECTION EVALUATION")
+    print("=" * 60)
+    if args.video:
+        from vad_tpu.eval.video_eval import load_video_model
+        from vad_tpu.eval.video_render import generate_video_output
+
+        model, variables, saved = load_video_model(args.checkpoint)
+        generate_video_output(
+            model,
+            variables,
+            args.video,
+            args.output_video or "output_annotated.mp4",
+            image_size=int(saved.get("image_size", 256)),
+            sequence_length=int(saved.get("sequence_length", 16)),
+        )
+    else:
+        from vad_tpu.eval.video_eval import evaluate
+
+        evaluate(args)

@@ -1,0 +1,123 @@
+"""End-to-end image pipeline: train CLI -> checkpoint -> evaluate CLI.
+
+The synthetic dataset is the integration fixture (same role as reference
+download_data.py:85-184 / SURVEY §4).  Runs tiny (64x64, few epochs) on
+the 8-virtual-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    from vad_tpu.data.synthetic import create_synthetic_image_data
+
+    import train as train_cli
+    from vad_tpu.train.image_trainer import train
+
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data"
+    create_synthetic_image_data(
+        str(data_dir), "synthetic", n_train=16, n_test_good=6, n_test_defect=8,
+        image_size=64,
+    )
+    args = train_cli.build_parser().parse_args(
+        [
+            "--category", "synthetic",
+            "--data-dir", str(data_dir),
+            "--image-size", "64",
+            "--latent-dim", "64",
+            "--epochs", "4",
+            "--batch-size", "8",
+            "--num-workers", "2",
+            "--results-dir", str(root / "results"),
+        ]
+    )
+    out = train(args)
+    return {"data_dir": data_dir, "results_dir": out["results_dir"], "history": out["history"]}
+
+
+def test_training_artifacts(trained_run):
+    rd = trained_run["results_dir"]
+    assert (rd / "best_model.ckpt").exists()
+    assert (rd / "final_model.ckpt").exists()
+    h = trained_run["history"]
+    assert len(h["train_loss"]) == 4
+    # learning happened: last train loss below the first
+    assert h["train_loss"][-1] < h["train_loss"][0]
+
+
+def test_checkpoint_self_describing(trained_run):
+    from vad_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(trained_run["results_dir"] / "best_model.ckpt")
+    assert ckpt["args"]["latent_dim"] == 64
+    assert ckpt["args"]["image_size"] == 64
+    assert ckpt["model_type"] == "image"
+    assert "opt_state" in ckpt  # resume-capable
+
+
+def test_evaluate_cli(trained_run):
+    import evaluate as eval_cli
+    from vad_tpu.eval.image_eval import evaluate
+
+    args = eval_cli.build_parser().parse_args(
+        ["--checkpoint", str(trained_run["results_dir"] / "best_model.ckpt")]
+    )
+    score = evaluate(args)
+    assert 0.0 <= score <= 1.0
+    out = trained_run["results_dir"] / "evaluation"
+    for f in ("roc_curve.png", "score_distribution.png", "reconstructions.png", "results.txt"):
+        assert (out / f).exists(), f
+    text = (out / "results.txt").read_text()
+    assert text.startswith("AUROC: ")
+    assert "defect: ANOMALY" in text
+    assert "good: NORMAL" in text
+
+
+def test_resume_continues(trained_run):
+    import train as train_cli
+    from vad_tpu.train.image_trainer import train
+
+    args = train_cli.build_parser().parse_args(
+        [
+            "--category", "synthetic",
+            "--data-dir", str(trained_run["data_dir"]),
+            "--image-size", "64",
+            "--latent-dim", "64",
+            "--epochs", "5",
+            "--batch-size", "8",
+            "--num-workers", "2",
+            "--results-dir", "unused",
+            "--resume", str(trained_run["results_dir"] / "final_model.ckpt"),
+        ]
+    )
+    out = train(args)
+    # resumed from epoch 4 -> exactly one more epoch appended
+    assert len(out["history"]["train_loss"]) == 5
+
+
+@pytest.mark.slow
+def test_synthetic_auroc_threshold(tmp_path):
+    """Longer training separates synthetic defects (AUROC >= 0.7)."""
+    from vad_tpu.data.synthetic import create_synthetic_image_data
+    import train as train_cli
+    import evaluate as eval_cli
+    from vad_tpu.train.image_trainer import train
+    from vad_tpu.eval.image_eval import evaluate
+
+    data_dir = tmp_path / "data"
+    create_synthetic_image_data(str(data_dir), "synthetic", image_size=128)
+    args = train_cli.build_parser().parse_args(
+        [
+            "--category", "synthetic", "--data-dir", str(data_dir),
+            "--image-size", "128", "--epochs", "25", "--batch-size", "16",
+            "--results-dir", str(tmp_path / "results"),
+        ]
+    )
+    out = train(args)
+    eargs = eval_cli.build_parser().parse_args(
+        ["--checkpoint", str(out["results_dir"] / "best_model.ckpt")]
+    )
+    assert evaluate(eargs) >= 0.7

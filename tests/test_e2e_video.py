@@ -1,0 +1,134 @@
+"""End-to-end video pipeline: train CLI -> evaluate CLI -> video render.
+
+Tiny IPAD-format synthetic fixture, 8-virtual-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def trained_video_run(tmp_path_factory):
+    from vad_tpu.data.synthetic import create_synthetic_video_data
+    import train_video as tv_cli
+    from vad_tpu.train.video_trainer import train
+
+    root = tmp_path_factory.mktemp("e2e_video")
+    data_dir = root / "data"
+    create_synthetic_video_data(
+        str(data_dir), "S01", n_train_videos=2, n_test_videos=2,
+        frames_per_video=24, image_size=64,
+    )
+    args = tv_cli.build_parser().parse_args(
+        [
+            "--category", "S01",
+            "--data-dir", str(data_dir),
+            "--image-size", "64",
+            "--sequence-length", "8",
+            "--stride", "8",
+            "--latent-dim", "32",
+            "--lstm-hidden-dim", "32",
+            "--lstm-layers", "2",
+            "--epochs", "2",
+            "--batch-size", "2",
+            "--num-workers", "2",
+            "--results-dir", str(root / "results"),
+        ]
+    )
+    out = train(args)
+    return {"data_dir": data_dir, "results_dir": out["results_dir"], "history": out["history"]}
+
+
+def test_video_training_artifacts(trained_video_run):
+    rd = trained_video_run["results_dir"]
+    assert rd.name.startswith("video_S01_")  # UI classifies by this prefix
+    assert (rd / "best_model.ckpt").exists()
+    assert (rd / "final_model.ckpt").exists()
+    # per-epoch checkpoints (reference train_video.py:257-262)
+    assert (rd / "checkpoint_epoch_1.ckpt").exists()
+    assert (rd / "checkpoint_epoch_2.ckpt").exists()
+
+
+def test_video_evaluate_cli(trained_video_run):
+    import evaluate_video as ev_cli
+    from vad_tpu.eval.video_eval import evaluate
+
+    args = ev_cli.build_parser().parse_args(
+        [
+            "--checkpoint", str(trained_video_run["results_dir"] / "best_model.ckpt"),
+            "--data-dir", str(trained_video_run["data_dir"]),
+            "--batch-size", "2",
+        ]
+    )
+    score = evaluate(args)
+    assert 0.0 <= score <= 1.0
+    out = trained_video_run["results_dir"] / "evaluation"
+    assert (out / "score_distribution.png").exists()
+    assert (out / "results.txt").exists()
+    text = (out / "results.txt").read_text()
+    assert "Sequence-level AUROC" in text
+    assert "Frame-level AUROC" in text  # synthetic IPAD fixture has labels
+    vis = list(out.glob("visualization_*.png"))
+    assert len(vis) >= 2
+
+
+def test_video_render_single_file(trained_video_run, tmp_path):
+    import cv2
+
+    from vad_tpu.data.synthetic import create_synthetic_video_file
+    from vad_tpu.eval.video_eval import load_video_model
+    from vad_tpu.eval.video_render import generate_video_output
+
+    clip = create_synthetic_video_file(
+        str(tmp_path / "clip.mp4"), n_frames=20, image_size=64,
+        anomaly_range=(8, 14),
+    )
+    model, variables, saved = load_video_model(
+        trained_video_run["results_dir"] / "best_model.ckpt"
+    )
+    out_path = tmp_path / "annotated.mp4"
+    scores = generate_video_output(
+        model, variables, clip, str(out_path),
+        image_size=int(saved["image_size"]),
+        sequence_length=int(saved["sequence_length"]),
+    )
+    assert len(scores) == 20  # every frame scored exactly once
+    assert out_path.exists()
+    assert (tmp_path / "score_timeline.png").exists()
+    cap = cv2.VideoCapture(str(out_path))
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    assert n == 20
+    assert (w, h) == (64 * 3, 64 + 60)  # 3 panels + score bar
+
+
+def test_streaming_equals_full_sequence(trained_video_run):
+    """Chunked state-carrying inference == one full-sequence forward."""
+    from vad_tpu.eval.video_eval import load_video_model
+    from vad_tpu.models.video_autoencoder import ConvLSTM, VideoAutoencoder
+
+    model, variables, saved = load_video_model(
+        trained_video_run["results_dir"] / "best_model.ckpt"
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 8, 64, 64, 3)), jnp.float32)
+
+    full = model.apply(
+        variables, x, per_frame=True, method=VideoAutoencoder.reconstruction_error
+    )
+
+    lat = 64 // 16
+    states = ConvLSTM.zero_state(2, 1, lat, lat, 32)
+    chunks = []
+    for i in range(0, 8, 4):
+        _, _, fs, states = model.apply(
+            variables, x[:, i : i + 4], states, method=VideoAutoencoder.stream_step
+        )
+        chunks.append(np.asarray(fs))
+    streamed = np.concatenate(chunks, axis=1)
+    np.testing.assert_allclose(streamed, np.asarray(full), rtol=2e-4, atol=1e-6)

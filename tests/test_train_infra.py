@@ -1,0 +1,127 @@
+"""Training-infrastructure tests: optimizer, plateau schedule, checkpoints,
+and the SPMD train step over the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vad_tpu.models.autoencoder import ConvAutoencoder
+from vad_tpu.ops.losses import mse_per_sample
+from vad_tpu.parallel.sharding import get_mesh, pad_batch_for_devices
+from vad_tpu.train.state import (
+    ReduceLROnPlateau,
+    create_train_state,
+    current_learning_rate,
+    set_learning_rate,
+)
+from vad_tpu.train.steps import make_eval_step, make_train_step
+from vad_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def small_state(lr=1e-3):
+    model = ConvAutoencoder(latent_dim=32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    return model, create_train_state(model, variables, lr)
+
+
+class TestPlateauScheduler:
+    def test_min_mode_reduces_after_patience(self):
+        sched = ReduceLROnPlateau(mode="min", factor=0.5, patience=2)
+        lr = 1.0
+        lr = sched.step(1.0, lr)  # best=1.0
+        for _ in range(2):  # bad epochs 1, 2
+            lr = sched.step(1.0, lr)
+        assert lr == 1.0
+        lr = sched.step(1.0, lr)  # bad epoch 3 > patience -> reduce
+        assert lr == 0.5
+
+    def test_improvement_resets(self):
+        sched = ReduceLROnPlateau(mode="min", factor=0.5, patience=1)
+        lr = 1.0
+        lr = sched.step(1.0, lr)
+        lr = sched.step(1.1, lr)  # bad 1
+        lr = sched.step(0.5, lr)  # improvement resets
+        lr = sched.step(0.6, lr)  # bad 1
+        assert lr == 1.0
+        lr = sched.step(0.6, lr)  # bad 2 -> reduce
+        assert lr == 0.5
+
+    def test_max_mode(self):
+        sched = ReduceLROnPlateau(mode="max", factor=0.1, patience=0)
+        lr = 1.0
+        lr = sched.step(2.0, lr)  # best
+        lr = sched.step(2.0, lr)  # not better -> immediate reduce (patience 0)
+        assert np.isclose(lr, 0.1)
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_overfit(self):
+        model, state = small_state(lr=3e-3)
+        step = make_train_step(mse_per_sample, get_mesh())
+        x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.3
+        first = None
+        for i in range(30):
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(8))
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.7
+
+    def test_padded_tail_does_not_affect_loss(self):
+        model, state = small_state()
+        step = make_eval_step(
+            mse_per_sample, ConvAutoencoder.reconstruction_error, get_mesh()
+        )
+        x = np.random.default_rng(1).normal(size=(5, 32, 32, 3)).astype(np.float32)
+        padded, n_real = pad_batch_for_devices({"image": x}, 8)
+        assert n_real == 5
+        losses, scores = step(state, padded["image"])
+        # padded entries replicate the last sample
+        np.testing.assert_allclose(np.asarray(scores)[5:], np.asarray(scores)[4], rtol=1e-5)
+
+    def test_runs_on_eight_device_mesh(self):
+        assert len(jax.devices()) == 8
+        mesh = get_mesh()
+        assert mesh.shape["data"] == 8
+        model, state = small_state()
+        step = make_train_step(mse_per_sample, mesh)
+        x = np.zeros((16, 32, 32, 3), np.float32)
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(16))
+        assert np.isfinite(float(loss))
+
+    def test_lr_injection_without_recompile(self):
+        model, state = small_state(lr=1e-3)
+        assert np.isclose(current_learning_rate(state), 1e-3)
+        step = make_train_step(mse_per_sample, get_mesh())
+        x = jnp.zeros((8, 32, 32, 3))
+        state, _ = step(state, x, jnp.asarray(8))
+        state = set_learning_rate(state, 5e-4)
+        assert np.isclose(current_learning_rate(state), 5e-4)
+        state, _ = step(state, x, jnp.asarray(8))  # same compiled fn
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        model, state = small_state()
+        payload = {
+            "epoch": 3,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "args": {"latent_dim": 32, "category": "synthetic"},
+            "history": {"train_loss": [1.0, 0.5]},
+        }
+        path = save_checkpoint(tmp_path / "best_model.ckpt", payload)
+        loaded = load_checkpoint(path)
+        assert loaded["epoch"] == 3
+        assert loaded["args"]["latent_dim"] == 32
+        chex_tree = jax.tree.map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            state.params,
+            loaded["params"],
+        )
+        assert all(jax.tree.leaves(chex_tree))
+
+    def test_atomic_write_leaves_no_tmp(self, tmp_path):
+        model, state = small_state()
+        save_checkpoint(tmp_path / "m.ckpt", {"params": state.params})
+        assert list(tmp_path.glob("*.tmp")) == []

@@ -1,0 +1,39 @@
+"""Train the image anomaly-detection autoencoder (CLI).
+
+Flag-compatible with reference train.py:236-270, plus --resume and --seed.
+
+Usage:
+    python train.py --category synthetic --epochs 50
+    python train.py --category bottle --epochs 100
+"""
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train anomaly detection model")
+    parser.add_argument("--data-dir", type=str, default="./data", help="Path to dataset")
+    parser.add_argument("--category", type=str, default="synthetic",
+                        help="Dataset category (e.g., bottle, synthetic)")
+    parser.add_argument("--image-size", type=int, default=256, help="Input image size")
+    parser.add_argument("--latent-dim", type=int, default=256, help="Latent space dimension")
+    parser.add_argument("--epochs", type=int, default=50, help="Number of training epochs")
+    parser.add_argument("--batch-size", type=int, default=16, help="Batch size")
+    parser.add_argument("--lr", type=float, default=1e-3, help="Learning rate")
+    parser.add_argument("--num-workers", type=int, default=4, help="Decode threads")
+    parser.add_argument("--loss", type=str, default="mse", choices=["mse", "ssim", "combined"],
+                        help="Loss function to use")
+    parser.add_argument("--ssim-weight", type=float, default=0.5,
+                        help="Weight for SSIM in combined loss (0-1)")
+    parser.add_argument("--results-dir", type=str, default="./results",
+                        help="Directory to save results")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint to resume training from")
+    parser.add_argument("--seed", type=int, default=0, help="Init PRNG seed")
+    return parser
+
+
+if __name__ == "__main__":
+    from vad_tpu.train.image_trainer import train
+
+    train(build_parser().parse_args())

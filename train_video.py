@@ -1,0 +1,42 @@
+"""Train the ConvLSTM video anomaly-detection model (CLI).
+
+Flag-compatible with reference train_video.py:296-333, plus --seed.
+
+Usage:
+    python train_video.py --category S01 --data-dir ./data/IPAD --epochs 20
+"""
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train video anomaly detection model")
+    parser.add_argument("--data-dir", type=str, default="./data", help="Path to dataset")
+    parser.add_argument("--category", type=str, required=True,
+                        help="Dataset category (e.g., S01, R01)")
+    parser.add_argument("--image-size", type=int, default=256, help="Frame size")
+    parser.add_argument("--sequence-length", type=int, default=16,
+                        help="Number of frames per sequence")
+    parser.add_argument("--stride", type=int, default=4, help="Stride between sequences")
+    parser.add_argument("--latent-dim", type=int, default=128, help="Latent space dimension")
+    parser.add_argument("--lstm-hidden-dim", type=int, default=128,
+                        help="ConvLSTM hidden dimension")
+    parser.add_argument("--lstm-layers", type=int, default=2, help="Number of ConvLSTM layers")
+    parser.add_argument("--epochs", type=int, default=50, help="Number of training epochs")
+    parser.add_argument("--batch-size", type=int, default=4,
+                        help="Batch size (smaller for video due to memory)")
+    parser.add_argument("--lr", type=float, default=1e-4, help="Learning rate")
+    parser.add_argument("--num-workers", type=int, default=2, help="Decode threads")
+    parser.add_argument("--results-dir", type=str, default="./results",
+                        help="Directory to save results")
+    parser.add_argument("--seed", type=int, default=0, help="Init PRNG seed")
+    return parser
+
+
+if __name__ == "__main__":
+    from vad_tpu.train.video_trainer import train
+
+    print("=" * 60)
+    print("VIDEO ANOMALY DETECTION TRAINING")
+    print("=" * 60)
+    train(build_parser().parse_args())

@@ -194,10 +194,13 @@ def create_synthetic_video_data(
         vdir.mkdir(exist_ok=True)
         phase = rng.uniform(0, 2 * np.pi)
         speed = rng.uniform(0.12, 0.2)
-        a_start = int(frames_per_video * 0.3)
-        a_end = int(frames_per_video * 0.7)
         labels = np.zeros(frames_per_video, dtype=np.int64)
-        labels[a_start:a_end] = 1
+        # odd-indexed test videos are fully normal, so sliding windows of
+        # any length/stride see both classes (window label = any-frame OR)
+        if v % 2 == 0:
+            a_start = int(frames_per_video * 0.4)
+            a_end = int(frames_per_video * 0.7)
+            labels[a_start:a_end] = 1
         for t in range(frames_per_video):
             frame = _video_frame(
                 t, image_size, phase, speed, bool(labels[t]), rng

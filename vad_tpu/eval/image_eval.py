@@ -1,0 +1,157 @@
+"""Image-model evaluation: AUROC, per-defect breakdown, artifacts.
+
+Behavior parity with reference evaluate.py:207-282: rebuilds the model
+from the checkpoint's stored args, scores the test split, prints AUROC and
+the per-defect table, and writes roc_curve.png / score_distribution.png /
+reconstructions.png / results.txt into `<ckpt_dir>/evaluation/` with the
+reference's exact results.txt line format.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vad_tpu.data.image_dataset import MVTecDataset
+from vad_tpu.data.loader import Loader
+from vad_tpu.eval.metrics import auroc, per_defect_breakdown
+from vad_tpu.eval.plots import (
+    plot_reconstruction_grid,
+    plot_roc_curve,
+    plot_score_distribution,
+)
+from vad_tpu.models.autoencoder import ConvAutoencoder
+from vad_tpu.parallel.sharding import pad_batch_for_devices
+from vad_tpu.utils.checkpoint import load_checkpoint
+
+
+def load_image_model(checkpoint_path: str | Path) -> Tuple[ConvAutoencoder, Dict, Dict]:
+    """(model, variables, train_args) from a self-describing checkpoint."""
+    ckpt = load_checkpoint(checkpoint_path)
+    train_args = ckpt.get("args", {})
+    model = ConvAutoencoder(
+        in_channels=3, latent_dim=int(train_args.get("latent_dim", 256))
+    )
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    epoch = ckpt.get("epoch", "unknown")
+    print(f"Loaded model from epoch {epoch}")
+    if ckpt.get("train_loss") is not None:
+        print(f"Training loss: {ckpt['train_loss']:.6f}")
+    return model, variables, train_args
+
+
+def compute_scores(model, variables, test_ds, batch_size: int = 16, num_workers: int = 4):
+    """(labels, scores, defect_types) over the test split."""
+    loader = Loader(test_ds, batch_size, num_workers=num_workers)
+
+    @jax.jit
+    def score_step(v, x):
+        return model.apply(v, x, method=ConvAutoencoder.reconstruction_error)
+
+    labels, scores, defects = [], [], []
+    for batch in loader:
+        padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
+        s = np.asarray(score_step(variables, padded["image"]))[:n_real]
+        scores.append(s)
+        labels.append(np.asarray(batch["label"]))
+        defects.extend(batch["defect_type"])
+    return np.concatenate(labels), np.concatenate(scores), defects
+
+
+def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
+    """Half normal / half anomalous samples with recon + error map + mask
+    (reference evaluate.py:113-131 selection policy)."""
+    labels = test_ds.labels
+    normal_idx = [i for i, l in enumerate(labels) if l == 0][: n_samples // 2]
+    anomaly_idx = [i for i, l in enumerate(labels) if l == 1][: n_samples // 2]
+    selected = normal_idx + anomaly_idx
+    if not selected:
+        return []
+
+    @jax.jit
+    def recon_and_error(v, x):
+        recon = model.apply(v, x, train=False)
+        err = model.apply(
+            v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
+        )
+        return recon, err
+
+    rows = []
+    for idx in selected:
+        sample = test_ds[idx]
+        x = jnp.asarray(sample["image"][None])
+        recon, err = recon_and_error(variables, x)
+        rows.append(
+            {
+                "image": sample["image"],
+                "recon": np.asarray(recon[0]),
+                "error": np.asarray(err[0]),
+                "mask": sample["mask"],
+                "defect_type": sample["defect_type"],
+            }
+        )
+    return rows
+
+
+def write_results_txt(path: Path, score: float, breakdown: Dict[str, Dict]) -> None:
+    """reference evaluate.py:273-278 format, byte-compatible."""
+    with open(path, "w") as f:
+        f.write(f"AUROC: {score:.4f}\n\n")
+        f.write("Per-defect breakdown:\n")
+        for defect, res in sorted(breakdown.items()):
+            status = "ANOMALY" if res["is_anomaly"] else "NORMAL"
+            f.write(
+                f"  {defect}: {status}, n={res['count']}, "
+                f"mean_score={res['mean_score']:.4f}\n"
+            )
+
+
+def evaluate(args: Any) -> float:
+    """Main evaluation flow; args mirrors the reference CLI namespace."""
+    devs = jax.devices()
+    print(f"Using device: {devs[0].platform}:{devs[0].device_kind}")
+
+    checkpoint_path = Path(args.checkpoint)
+    model, variables, train_args = load_image_model(checkpoint_path)
+
+    category = args.category or train_args.get("category", "synthetic")
+    data_dir = args.data_dir or train_args.get("data_dir", "./data")
+    image_size = int(train_args.get("image_size", 256))
+
+    print(f"\nEvaluating on category: {category}")
+    test_ds = MVTecDataset(data_dir, category, "test", image_size)
+    print(f"Test samples: {len(test_ds)}")
+
+    output_dir = checkpoint_path.parent / "evaluation"
+    output_dir.mkdir(exist_ok=True)
+
+    print("\nComputing metrics...")
+    labels, scores, defects = compute_scores(model, variables, test_ds)
+    score = auroc(labels, scores)
+    breakdown = per_defect_breakdown(labels, scores, defects)
+
+    print(f"\n{'=' * 50}")
+    print(f"AUROC: {score:.4f}")
+    print(f"{'=' * 50}")
+    print("\nPer-defect-type breakdown:")
+    print("-" * 40)
+    for defect, res in sorted(breakdown.items()):
+        status = "ANOMALY" if res["is_anomaly"] else "NORMAL"
+        print(
+            f"  {defect:20s} | {status:7s} | n={res['count']:3d} | "
+            f"mean_score={res['mean_score']:.4f}"
+        )
+
+    print("\nGenerating visualizations...")
+    plot_roc_curve(labels, scores, output_dir / "roc_curve.png")
+    plot_score_distribution(labels, scores, output_dir / "score_distribution.png")
+    rows = make_reconstruction_rows(model, variables, test_ds)
+    plot_reconstruction_grid(rows, output_dir / "reconstructions.png")
+    write_results_txt(output_dir / "results.txt", score, breakdown)
+
+    print(f"\nResults saved to: {output_dir}")
+    return score

@@ -1,0 +1,246 @@
+"""Video-model evaluation: dataset mode (AUROC) and artifacts.
+
+Behavior parity with reference evaluate_video.py:69-306: rebuild from
+checkpoint args, score non-overlapping windows (stride = sequence_length),
+sequence-level AUROC + frame-level AUROC when per-frame labels exist,
+score statistics + separation, roc/distribution plots, per-sample
+side-by-side visualization PNGs, and results.txt.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from vad_tpu.data.loader import Loader
+from vad_tpu.data.video_dataset import detect_video_dataset_class
+from vad_tpu.eval.metrics import auroc, roc_points
+from vad_tpu.models.video_autoencoder import VideoAutoencoder
+from vad_tpu.parallel.sharding import pad_batch_for_devices
+from vad_tpu.utils.checkpoint import load_checkpoint
+
+
+def denormalize_u8(arr: np.ndarray) -> np.ndarray:
+    """[-1,1] float -> [0,255] uint8 (reference evaluate_video.py:40-48)."""
+    return (np.clip(np.asarray(arr) * 0.5 + 0.5, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def create_heatmap(error_map: np.ndarray, size=None) -> np.ndarray:
+    """Error map -> JET RGB heatmap (reference evaluate_video.py:51-66)."""
+    e = np.asarray(error_map, dtype=np.float32)
+    e = (e - e.min()) / (e.max() - e.min() + 1e-8)
+    u8 = (e * 255).astype(np.uint8)
+    hm = cv2.applyColorMap(u8, cv2.COLORMAP_JET)
+    hm = cv2.cvtColor(hm, cv2.COLOR_BGR2RGB)
+    if size:
+        hm = cv2.resize(hm, size)
+    return hm
+
+
+def load_video_model(checkpoint_path: str | Path) -> Tuple[VideoAutoencoder, Dict, Dict]:
+    ckpt = load_checkpoint(checkpoint_path)
+    saved = ckpt.get("args", {})
+    model = VideoAutoencoder(
+        in_channels=3,
+        latent_dim=int(saved.get("latent_dim", 128)),
+        lstm_hidden_dim=int(saved.get("lstm_hidden_dim", 128)),
+        lstm_layers=int(saved.get("lstm_layers", 2)),
+    )
+    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    print(f"Loaded model from epoch {ckpt.get('epoch', 'unknown')}")
+    print(f"Training loss: {ckpt.get('train_loss', 0) or 0:.6f}")
+    return model, variables, saved
+
+
+def evaluate(args: Any) -> float:
+    devs = jax.devices()
+    print(f"Using device: {devs[0].platform}:{devs[0].device_kind}")
+
+    model, variables, saved = load_video_model(args.checkpoint)
+    category = args.category or saved.get("category", "S01")
+    sequence_length = int(saved.get("sequence_length", 16))
+    image_size = int(saved.get("image_size", 256))
+
+    print(f"\nEvaluating on category: {category}")
+    DatasetClass = detect_video_dataset_class(args.data_dir, category)
+    test_ds = DatasetClass(
+        args.data_dir,
+        category,
+        "test",
+        sequence_length=sequence_length,
+        stride=sequence_length,  # non-overlapping for evaluation
+        image_size=image_size,
+    )
+    print(f"Test sequences: {len(test_ds)}")
+    loader = Loader(test_ds, args.batch_size, num_workers=2)
+
+    @jax.jit
+    def score_step(v, x):
+        seq = model.apply(v, x, method=VideoAutoencoder.reconstruction_error)
+        frame = model.apply(v, x, per_frame=True, method=VideoAutoencoder.reconstruction_error)
+        return seq, frame
+
+    all_scores, all_labels = [], []
+    frame_scores, frame_labels = [], []
+    has_frame_labels = getattr(test_ds, "has_frame_labels", False)
+    print("\nComputing anomaly scores...")
+    for batch in loader:
+        padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, args.batch_size)
+        seq, frame = score_step(variables, padded["frames"])
+        all_scores.extend(np.asarray(seq)[:n_real].tolist())
+        all_labels.extend(np.asarray(batch["label"]).tolist())
+        if has_frame_labels:
+            frame_scores.extend(np.asarray(frame)[:n_real].reshape(-1).tolist())
+            frame_labels.extend(np.asarray(batch["frame_labels"]).reshape(-1).tolist())
+
+    all_scores = np.array(all_scores)
+    all_labels = np.array(all_labels)
+
+    print("\n" + "=" * 50)
+    if len(np.unique(all_labels)) > 1:
+        a = auroc(all_labels, all_scores)
+        print(f"Sequence-level AUROC: {a:.4f}")
+    else:
+        a = 0.0
+        print("Cannot compute AUROC - only one class present")
+
+    frame_auroc = None
+    if frame_scores and frame_labels and len(np.unique(frame_labels)) > 1:
+        frame_auroc = auroc(np.array(frame_labels), np.array(frame_scores))
+        print(f"Frame-level AUROC: {frame_auroc:.4f}")
+
+    normal = all_scores[all_labels == 0]
+    anomaly = all_scores[all_labels == 1]
+    print("=" * 50)
+    print("\nScore Statistics:")
+    print(f"  Normal  - mean: {normal.mean():.6f}, std: {normal.std():.6f}")
+    if len(anomaly) > 0:
+        print(f"  Anomaly - mean: {anomaly.mean():.6f}, std: {anomaly.std():.6f}")
+        print(f"  Separation ratio: {anomaly.mean() / normal.mean():.2f}x")
+
+    eval_dir = Path(args.checkpoint).parent / "evaluation"
+    eval_dir.mkdir(exist_ok=True)
+
+    if len(np.unique(all_labels)) > 1:
+        fpr, tpr = roc_points(all_labels, all_scores)
+        plt.figure(figsize=(8, 6))
+        plt.plot(fpr, tpr, "b-", linewidth=2, label=f"AUROC = {a:.4f}")
+        plt.plot([0, 1], [0, 1], "k--", linewidth=1)
+        plt.xlabel("False Positive Rate")
+        plt.ylabel("True Positive Rate")
+        plt.title(f"ROC Curve - Video Anomaly Detection\n{category}")
+        plt.legend(loc="lower right")
+        plt.grid(True, alpha=0.3)
+        plt.tight_layout()
+        plt.savefig(eval_dir / "roc_curve.png", dpi=150)
+        plt.close()
+        print(f"\nSaved ROC curve to {eval_dir / 'roc_curve.png'}")
+
+    plt.figure(figsize=(10, 6))
+    plt.hist(normal, bins=30, alpha=0.7, label="Normal", color="green")
+    if len(anomaly) > 0:
+        plt.hist(anomaly, bins=30, alpha=0.7, label="Anomaly", color="red")
+    plt.xlabel("Anomaly Score")
+    plt.ylabel("Count")
+    plt.title(f"Score Distribution - {category}")
+    plt.legend()
+    plt.grid(True, alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(eval_dir / "score_distribution.png", dpi=150)
+    plt.close()
+    print(f"Saved score distribution to {eval_dir / 'score_distribution.png'}")
+
+    print("\nGenerating visualizations...")
+    generate_visualizations(model, variables, test_ds, eval_dir, num_samples=4)
+
+    with open(eval_dir / "results.txt", "w") as f:
+        f.write("Video Anomaly Detection Evaluation\n")
+        f.write("=" * 50 + "\n\n")
+        f.write(f"Category: {category}\n")
+        f.write(f"Sequence-level AUROC: {a:.4f}\n")
+        if frame_auroc is not None:
+            f.write(f"Frame-level AUROC: {frame_auroc:.4f}\n")
+        f.write(f"Test sequences: {len(test_ds)}\n")
+        f.write(f"  Normal: {len(normal)}\n")
+        f.write(f"  Anomaly: {len(anomaly)}\n\n")
+        f.write("Score Statistics:\n")
+        f.write(f"  Normal mean: {normal.mean():.6f}\n")
+        if len(anomaly) > 0:
+            f.write(f"  Anomaly mean: {anomaly.mean():.6f}\n")
+            f.write(f"  Separation: {anomaly.mean() / normal.mean():.2f}x\n")
+
+    print(f"\nResults saved to: {eval_dir}")
+    return a
+
+
+def generate_visualizations(model, variables, dataset, output_dir: Path, num_samples: int = 4):
+    """Side-by-side PNGs (original | reconstruction | heatmap) for the
+    middle frame of a few normal/anomalous windows (reference
+    evaluate_video.py:251-306)."""
+    labels = dataset.labels
+    normal_idx = [i for i, l in enumerate(labels) if l == 0][: num_samples // 2]
+    anomaly_idx = [i for i, l in enumerate(labels) if l == 1][: num_samples // 2]
+    selected = normal_idx + anomaly_idx
+    if not selected:
+        selected = list(range(min(num_samples, len(dataset))))
+
+    @jax.jit
+    def forward(v, x):
+        recon = model.apply(v, x, train=False)
+        err = model.apply(v, x, per_pixel=True, method=VideoAutoencoder.reconstruction_error)
+        seq = model.apply(v, x, method=VideoAutoencoder.reconstruction_error)
+        return recon, err, seq
+
+    for idx in selected:
+        sample = dataset[idx]
+        frames = jnp.asarray(sample["frames"][None])
+        label = int(sample["label"])
+        label_name = "ANOMALY" if label == 1 else "NORMAL"
+        recon, err, seq = forward(variables, frames)
+
+        t_mid = frames.shape[1] // 2
+        orig = denormalize_u8(np.asarray(frames[0, t_mid]))
+        rec = denormalize_u8(np.asarray(recon[0, t_mid]))
+        heat = create_heatmap(np.asarray(err[0, t_mid]), size=orig.shape[1::-1])
+        combined = np.hstack([orig, rec, heat])
+
+        w = orig.shape[1]
+        combined = cv2.cvtColor(combined, cv2.COLOR_RGB2BGR)
+        cv2.putText(combined, "Original", (10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+        cv2.putText(combined, "Reconstruction", (w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+        cv2.putText(combined, "Error Heatmap", (2 * w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+        cv2.putText(
+            combined,
+            f"{label_name} | Score: {float(seq[0]):.4f}",
+            (10, combined.shape[0] - 6),
+            cv2.FONT_HERSHEY_SIMPLEX,
+            0.6,
+            (0, 255, 0) if label == 0 else (0, 0, 255),
+            2,
+        )
+        combined = cv2.cvtColor(combined, cv2.COLOR_BGR2RGB)
+
+        plt.figure(figsize=(12, 4))
+        plt.imshow(combined)
+        plt.axis("off")
+        plt.tight_layout()
+        plt.savefig(
+            output_dir / f"visualization_{idx}_{label_name.lower()}.png",
+            dpi=150,
+            bbox_inches="tight",
+        )
+        plt.close()
+    print(f"Saved {len(selected)} visualizations")

@@ -110,8 +110,13 @@ class ConvLSTMLayer(nn.Module):
     backend: str = "xla"
 
     @nn.compact
-    def __call__(self, x_seq: jnp.ndarray) -> jnp.ndarray:
-        """[B, T, H, W, input_dim] -> [B, T, H, W, hidden_dim]."""
+    def __call__(self, x_seq: jnp.ndarray, initial_state=None, return_state: bool = False):
+        """[B, T, H, W, input_dim] -> [B, T, H, W, hidden_dim].
+
+        ``initial_state``: optional (h, c) carried across chunks for
+        streaming inference; defaults to zeros.  With ``return_state`` the
+        final (h, c) is returned alongside the hidden sequence.
+        """
         b, t, hgt, wid, _ = x_seq.shape
         k = self.kernel_size
         kernel = self.param(
@@ -131,13 +136,17 @@ class ConvLSTMLayer(nn.Module):
             + bias
         ).reshape(b, t, hgt, wid, 4 * self.hidden_dim)
 
+        if initial_state is None:
+            h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), x_seq.dtype)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = initial_state
+
         if self.backend == "pallas":
             from vad_tpu.ops.convlstm_pallas import convlstm_recurrence_pallas
 
-            return convlstm_recurrence_pallas(gates_x, w_h)
-
-        h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), x_seq.dtype)
-        c0 = jnp.zeros_like(h0)
+            h_seq, final = convlstm_recurrence_pallas(gates_x, w_h, h0, c0)
+            return (h_seq, final) if return_state else h_seq
 
         def step(carry, gates_x_t):
             h, c = carry
@@ -145,8 +154,9 @@ class ConvLSTMLayer(nn.Module):
             return (h, c), h
 
         # Scan over time (axis moved to leading): constant memory per step.
-        _, h_seq = jax.lax.scan(step, (h0, c0), jnp.moveaxis(gates_x, 1, 0))
-        return jnp.moveaxis(h_seq, 0, 1)
+        final, h_seq = jax.lax.scan(step, (h0, c0), jnp.moveaxis(gates_x, 1, 0))
+        out = jnp.moveaxis(h_seq, 0, 1)
+        return (out, final) if return_state else out
 
 
 class ConvLSTM(nn.Module):
@@ -163,13 +173,26 @@ class ConvLSTM(nn.Module):
     backend: str = "xla"
 
     @nn.compact
-    def __call__(self, x_seq: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x_seq: jnp.ndarray, initial_states=None, return_state: bool = False):
+        """initial_states: optional tuple of per-layer (h, c) for streaming."""
+        finals = []
         for i in range(self.num_layers):
             in_dim = self.input_dim if i == 0 else self.hidden_dim
-            x_seq = ConvLSTMLayer(
-                in_dim, self.hidden_dim, self.kernel_size, backend=self.backend
-            )(x_seq)
-        return x_seq
+            layer = ConvLSTMLayer(in_dim, self.hidden_dim, self.kernel_size, backend=self.backend)
+            init = initial_states[i] if initial_states is not None else None
+            if return_state:
+                x_seq, final = layer(x_seq, init, return_state=True)
+                finals.append(final)
+            else:
+                x_seq = layer(x_seq, init)
+        return (x_seq, tuple(finals)) if return_state else x_seq
+
+    @staticmethod
+    def zero_state(num_layers, batch, height, width, hidden_dim, dtype=jnp.float32):
+        shape = (batch, height, width, hidden_dim)
+        return tuple(
+            (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(num_layers)
+        )
 
 
 class VideoEncoder(nn.Module):
@@ -261,6 +284,30 @@ class VideoAutoencoder(nn.Module):
         if self.lstm_hidden_dim != self.latent_dim:
             z = self.proj(z)  # 1x1 conv; flax Conv handles the [B, T] batch dims
         return self.decoder(z, train)
+
+    def stream_step(self, x: jnp.ndarray, states):
+        """Streaming chunk inference carrying ConvLSTM state across calls.
+
+        Args:
+            x: chunk [B, T_chunk, H, W, C].
+            states: per-layer (h, c) tuple from the previous chunk (use
+                ConvLSTM.zero_state for the first).
+
+        Returns:
+            (recon, error_map [B,T,H,W], frame_scores [B,T], new_states).
+
+        This is the long-video scoring path: each frame is encoded, scored,
+        and decoded exactly once — unlike overlapping-window scoring which
+        redoes the work sequence_length times (reference
+        evaluate_video.py:309-404 with stride=1; SURVEY §3.4 note).
+        """
+        z = self.encoder(x, False)
+        z, new_states = self.convlstm(z, initial_states=states, return_state=True)
+        if self.lstm_hidden_dim != self.latent_dim:
+            z = self.proj(z)
+        recon = self.decoder(z, False)
+        err = jnp.mean(jnp.square(x - recon), axis=-1)
+        return recon, err, jnp.mean(err, axis=(2, 3)), new_states
 
     def error_map(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-pixel, per-frame anomaly map [B, T, H, W]."""

@@ -106,6 +106,58 @@ def combined_loss(
     )
 
 
+def mse_per_sample(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample MSE [B]; mean(mse_per_sample) == mse_loss."""
+    d = jnp.square(pred - target)
+    return jnp.mean(d.reshape(d.shape[0], -1), axis=1)
+
+
+def ssim_per_sample(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Per-sample SSIM loss [B] (1 - mean SSIM map per sample).
+
+    The batch SSIM map mean equals the mean of per-sample map means when
+    all samples share a shape, so mean(ssim_per_sample) == ssim_loss —
+    used for exact masked aggregation over padded eval batches.
+    """
+
+    def one(p, t):
+        return 1.0 - ssim(p[None], t[None], window_size, sigma)
+
+    if pred.ndim == 5:  # [B, T, H, W, C]: treat frames of one sample jointly
+        def one_video(p, t):
+            return 1.0 - ssim(p, t, window_size, sigma)
+
+        return jax.vmap(one_video)(pred, target)
+    return jax.vmap(one)(pred, target)
+
+
+def combined_per_sample(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    alpha: float = 0.5,
+    window_size: int = 11,
+) -> jnp.ndarray:
+    return (1.0 - alpha) * mse_per_sample(pred, target) + alpha * ssim_per_sample(
+        pred, target, window_size
+    )
+
+
+def make_per_sample_loss_fn(name: str, ssim_weight: float = 0.5):
+    """Per-sample variant of make_loss_fn, for masked eval aggregation."""
+    if name == "mse":
+        return mse_per_sample
+    if name == "ssim":
+        return ssim_per_sample
+    if name == "combined":
+        return functools.partial(combined_per_sample, alpha=ssim_weight)
+    raise ValueError(f"unknown loss '{name}' (expected mse|ssim|combined)")
+
+
 def make_loss_fn(name: str, ssim_weight: float = 0.5):
     """Resolve a loss by CLI name {mse, ssim, combined} (reference
     train.py:149-158)."""

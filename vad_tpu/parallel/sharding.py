@@ -1,0 +1,118 @@
+"""Device mesh + sharding layout for single-chip through multi-host runs.
+
+The reference is strictly single-device (SURVEY §2.3: no torch.distributed
+anywhere).  Here parallelism is a first-class axis of the design:
+
+- a `Mesh` over all visible devices with axes ``('data', 'model')``;
+- batches sharded over 'data' (pure data parallelism is the honest scaling
+  axis for these conv autoencoders — gradient psum rides ICI, inserted by
+  the SPMD partitioner under `jit`);
+- the 'model' axis shards the widest channel dimensions (the ConvLSTM
+  gate convolutions hold 2.36M of the video model's 2.7M params) for
+  tensor parallelism when a single step must span chips;
+- everything runs under plain `jax.jit` with NamedSharding-annotated
+  inputs — XLA inserts all collectives; there is no hand-written
+  communication on the training path.
+
+The same code path covers 1 device (trivial mesh) to a multi-host slice
+(extend the mesh over DCN) — tests exercise it on 8 virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def get_mesh(
+    devices: Optional[Sequence] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Mesh over the given (default: all) devices.
+
+    ``model_parallel`` splits off a trailing 'model' axis; the remainder is
+    'data'.  On one device both axes are size 1 and everything below is a
+    no-op, so callers never special-case chip counts.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over 'data', rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def convlstm_param_shardings(params, mesh: Mesh):
+    """NamedSharding tree for video-model params: ConvLSTM gate kernels
+    sharded over 'model' on their output-channel dim, rest replicated.
+
+    The gate conv kernel is [k, k, cin+ch, 4*ch]; splitting the last dim
+    keeps each device's share of the 4 gates contiguous per gate group
+    only when 4*ch % model_axis == 0 — asserted at setup.
+    """
+    model_n = mesh.shape[MODEL_AXIS]
+
+    def spec_for(path, leaf) -> NamedSharding:
+        names = [getattr(p, "key", str(p)) for p in path]
+        is_gate_kernel = any("ConvLSTMLayer" in n for n in names) and names[-1] == "kernel"
+        if model_n > 1 and is_gate_kernel and leaf.ndim == 4 and leaf.shape[-1] % model_n == 0:
+            return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+        if model_n > 1 and is_gate_kernel and leaf.ndim == 1 and leaf.shape[-1] % model_n == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict:
+    """device_put array fields with batch sharding; pass metadata through."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, sh) if isinstance(v, np.ndarray) else v
+    return out
+
+
+def padded_batch_size(batch_size: int, mesh: Mesh) -> int:
+    """Smallest multiple of the data-axis size >= batch_size (static jit
+    shape that every device can take an equal slice of)."""
+    n = mesh.shape[DATA_AXIS]
+    return ((batch_size + n - 1) // n) * n
+
+
+def pad_batch_for_devices(arrays: Dict, batch_size: int) -> tuple[Dict, int]:
+    """Pad every array's leading dim up to ``batch_size`` by repeating the
+    final sample.  Returns (padded, n_real).
+
+    Keeps jit shapes static across the tail batch and keeps the batch
+    divisible by the data axis; callers mask the padded tail on host.
+    """
+    first = next(v for v in arrays.values() if isinstance(v, np.ndarray))
+    n_real = first.shape[0]
+    if n_real == batch_size:
+        return arrays, n_real
+    if n_real > batch_size:
+        raise ValueError(f"batch of {n_real} exceeds configured size {batch_size}")
+    out = {}
+    for k, v in arrays.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n_real:
+            pad = np.repeat(v[-1:], batch_size - n_real, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+        else:
+            out[k] = v
+    return out, n_real

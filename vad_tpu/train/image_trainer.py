@@ -1,0 +1,219 @@
+"""Image-model training loop.
+
+Behavior parity with reference train.py:94-233: selectable mse/ssim/
+combined loss, Adam(lr, wd=1e-5), ReduceLROnPlateau(min, x0.5, patience 5)
+on val loss, per-epoch validation that splits test-set errors into
+normal/anomaly means and prints the separation ratio, best checkpoint by
+lowest val loss, final checkpoint at the end, results under
+``<results_dir>/<category>_<timestamp>/``.
+
+TPU-native differences: one jitted SPMD train step (donated buffers,
+batch sharded over the mesh data axis), async device prefetch of decoded
+batches, masked padding for static shapes, and true resume support
+(--resume, new capability; the reference saves optimizer state but never
+restores it — SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vad_tpu.data.image_dataset import MVTecDataset
+from vad_tpu.data.loader import Loader
+from vad_tpu.models.autoencoder import ConvAutoencoder
+from vad_tpu.ops.losses import make_per_sample_loss_fn
+from vad_tpu.parallel.sharding import get_mesh, pad_batch_for_devices, padded_batch_size
+from vad_tpu.train.state import (
+    ReduceLROnPlateau,
+    create_train_state,
+    current_learning_rate,
+    set_learning_rate,
+)
+from vad_tpu.train.steps import make_eval_step, make_train_step
+from vad_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _describe_devices() -> None:
+    devs = jax.devices()
+    kind = devs[0].platform.upper()
+    print(f"Using {kind}: {len(devs)} device(s) — {devs[0].device_kind}")
+
+
+def run_epoch_train(train_step, state, loader, pad_bs):
+    total, n_batches = 0.0, 0
+    pending = None  # one-step delayed loss read: keeps host/device pipelined
+    for batch in iter(loader):
+        padded, n_real = pad_batch_for_devices({"image": batch["image"]}, pad_bs)
+        state, loss = train_step(state, padded["image"], jnp.asarray(n_real))
+        if pending is not None:
+            total += float(pending)
+        pending = loss
+        n_batches += 1
+    if pending is not None:
+        total += float(pending)
+    return state, total / max(n_batches, 1)
+
+
+def run_epoch_validate(eval_step, state, loader, pad_bs):
+    """Returns (avg_loss, normal_err_mean, anomaly_err_mean, labels, scores)."""
+    losses_sum, n_batches = 0.0, 0
+    all_scores, all_labels = [], []
+    for batch in iter(loader):
+        padded, n_real = pad_batch_for_devices(
+            {"image": batch["image"]}, pad_bs
+        )
+        losses, scores = eval_step(state, padded["image"])
+        losses = np.asarray(losses)[:n_real]
+        scores = np.asarray(scores)[:n_real]
+        losses_sum += float(losses.mean())
+        n_batches += 1
+        all_scores.append(scores)
+        all_labels.append(np.asarray(batch["label"]))
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    labels = np.concatenate(all_labels) if all_labels else np.zeros(0, np.int64)
+    normal = scores[labels == 0]
+    anomaly = scores[labels == 1]
+    return (
+        losses_sum / max(n_batches, 1),
+        float(normal.mean()) if len(normal) else 0.0,
+        float(anomaly.mean()) if len(anomaly) else 0.0,
+        labels,
+        scores,
+    )
+
+
+def train(args: Any) -> Dict[str, Any]:
+    """Train the image model; args mirrors the reference CLI namespace."""
+    _describe_devices()
+    mesh = get_mesh()
+    pad_bs = padded_batch_size(args.batch_size, mesh)
+
+    print(f"\nLoading dataset: {args.category}")
+    train_ds = MVTecDataset(args.data_dir, args.category, "train", args.image_size)
+    test_ds = MVTecDataset(args.data_dir, args.category, "test", args.image_size)
+    print(f"Training samples: {len(train_ds)} (all normal)")
+    print(f"Test samples: {len(test_ds)}")
+
+    train_loader = Loader(
+        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0
+    )
+    test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
+
+    model = ConvAutoencoder(in_channels=3, latent_dim=args.latent_dim)
+    variables = model.init(
+        jax.random.key(getattr(args, "seed", 0)),
+        jnp.zeros((1, args.image_size, args.image_size, 3)),
+        train=False,
+    )
+    state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
+
+    loss_name = getattr(args, "loss", "mse")
+    ssim_weight = getattr(args, "ssim_weight", 0.5)
+    per_sample_loss = make_per_sample_loss_fn(loss_name, ssim_weight)
+    if loss_name == "mse":
+        print("Using MSE loss")
+    elif loss_name == "ssim":
+        print("Using SSIM loss")
+    else:
+        print(f"Using Combined loss (MSE + SSIM, alpha={ssim_weight})")
+
+    train_step = make_train_step(per_sample_loss, mesh)
+    eval_step = make_eval_step(
+        per_sample_loss, ConvAutoencoder.reconstruction_error, mesh
+    )
+    scheduler = ReduceLROnPlateau(mode="min", factor=0.5, patience=5)
+
+    start_epoch = 1
+    history: Dict[str, list] = {
+        "train_loss": [], "val_loss": [], "normal_err": [], "anomaly_err": []
+    }
+    resume_path: Optional[str] = getattr(args, "resume", None)
+    if resume_path:
+        ckpt = load_checkpoint(resume_path)
+        state = state.replace(
+            params=ckpt["params"],
+            batch_stats=ckpt["batch_stats"],
+            opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"])
+            if ckpt.get("opt_state") is not None
+            else state.opt_state,
+        )
+        start_epoch = int(ckpt.get("epoch", 0)) + 1
+        history = ckpt.get("history", history)
+        print(f"Resumed from {resume_path} at epoch {start_epoch}")
+        results_dir = Path(resume_path).parent
+    else:
+        timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        results_dir = Path(args.results_dir) / f"{args.category}_{timestamp}"
+        results_dir.mkdir(parents=True, exist_ok=True)
+
+    args_dict = dict(vars(args))
+
+    print(f"\nStarting training for {args.epochs} epochs...")
+    print("-" * 60)
+    best_loss = min(history["val_loss"], default=float("inf"))
+    payload = None
+
+    for epoch in range(start_epoch, args.epochs + 1):
+        t0 = time.time()
+        state, train_loss = run_epoch_train(train_step, state, train_loader, pad_bs)
+        val_loss, normal_err, anomaly_err, _, _ = run_epoch_validate(
+            eval_step, state, test_loader, pad_bs
+        )
+
+        new_lr = scheduler.step(val_loss, current_learning_rate(state))
+        if new_lr != current_learning_rate(state):
+            state = set_learning_rate(state, new_lr)
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["normal_err"].append(normal_err)
+        history["anomaly_err"].append(anomaly_err)
+        separation = anomaly_err / normal_err if normal_err > 0 else 0.0
+
+        print(
+            f"Epoch {epoch:3d}/{args.epochs} | "
+            f"Train Loss: {train_loss:.6f} | "
+            f"Val Loss: {val_loss:.6f} | "
+            f"Normal Err: {normal_err:.6f} | "
+            f"Anomaly Err: {anomaly_err:.6f} | "
+            f"Separation: {separation:.2f}x "
+            f"({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+
+        payload = {
+            "epoch": epoch,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "train_loss": train_loss,
+            "val_loss": val_loss,
+            "history": history,
+            "args": args_dict,
+            "model_type": "image",
+        }
+        if val_loss < best_loss:
+            best_loss = val_loss
+            save_checkpoint(results_dir / "best_model.ckpt", payload)
+            print(f"  → Saved best model (loss: {val_loss:.6f})", flush=True)
+
+    if payload is not None:
+        save_checkpoint(results_dir / "final_model.ckpt", {**payload, "epoch": args.epochs})
+
+    print("-" * 60)
+    print("Training complete!")
+    print(f"Best validation loss: {best_loss:.6f}")
+    if history["normal_err"] and history["normal_err"][-1] > 0:
+        print(
+            f"Final separation ratio: "
+            f"{history['anomaly_err'][-1] / history['normal_err'][-1]:.2f}x"
+        )
+    print(f"Models saved to: {results_dir}")
+    return {"state": state, "history": history, "results_dir": results_dir}

@@ -1,0 +1,106 @@
+"""Jitted train / eval steps, SPMD over the device mesh.
+
+One compiled train step does: forward (train-mode BN), loss, backward,
+Adam update, BN running-stat update — with the input batch donated and
+sharded over the mesh 'data' axis.  XLA's SPMD partitioner inserts the
+gradient all-reduce; there is no hand-written collective here
+(SURVEY §5.8: the reference has no distributed path at all).
+
+Eval steps return per-sample losses and anomaly scores so the host can
+mask padded tail batches exactly (vad_tpu.parallel.pad_batch_for_devices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from vad_tpu.parallel.sharding import batch_sharding, replicate_sharding
+
+
+def make_train_step(per_sample_loss_fn: Callable, mesh=None):
+    """Compiled (state, images, n_real) -> (state, loss) step.
+
+    The loss is a masked mean over the first ``n_real`` samples, so padded
+    tail batches (static jit shapes) contribute exactly nothing to
+    gradients or the reported loss.
+    """
+
+    def step(state, images, n_real):
+        mask = jnp.arange(images.shape[0]) < n_real
+        denom = jnp.maximum(n_real, 1).astype(jnp.float32)
+
+        def objective(params):
+            recon, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = per_sample_loss_fn(recon, images)
+            loss = jnp.sum(jnp.where(mask, losses, 0.0)) / denom
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, loss
+
+    kwargs = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (
+            replicate_sharding(mesh),
+            batch_sharding(mesh),
+            replicate_sharding(mesh),
+        )
+        kwargs["out_shardings"] = (replicate_sharding(mesh), replicate_sharding(mesh))
+    # donate only the state: params/opt buffers are reused in place; the
+    # image batch has no same-shape output to alias.
+    return jax.jit(step, donate_argnums=(0,), **kwargs)
+
+
+def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None):
+    """Compiled (state, images) -> (per-sample loss [B], score [B]) step.
+
+    score_method: model method computing reconstruction error (bound via
+    apply_fn's ``method=``); runs inference-mode BN (running stats), like
+    the reference's model.eval() during validation (train.py:63).  Padded
+    tail entries are sliced off by the caller on host.
+    """
+
+    def step(state, images):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        recon = state.apply_fn(variables, images, train=False)
+        losses = per_sample_loss_fn(recon, images)
+        scores = state.apply_fn(variables, images, method=score_method)
+        return losses, scores
+
+    kwargs = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicate_sharding(mesh), batch_sharding(mesh))
+        kwargs["out_shardings"] = (batch_sharding(mesh), batch_sharding(mesh))
+    return jax.jit(step, **kwargs)
+
+
+def make_score_step(apply_fn, score_method, mesh=None, **score_kwargs):
+    """Compiled scoring-only step: (variables, images) -> scores."""
+
+    def step(variables, images):
+        return apply_fn(variables, images, method=score_method, **score_kwargs)
+
+    kwargs = {}
+    if mesh is not None:
+        kwargs["in_shardings"] = (replicate_sharding(mesh), batch_sharding(mesh))
+    return jax.jit(step, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def masked_mean(values: jnp.ndarray, n_real: jnp.ndarray, batch_size: int) -> jnp.ndarray:
+    """Mean of the first n_real entries of a padded [batch_size] vector."""
+    idx = jnp.arange(batch_size)
+    mask = idx < n_real
+    return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(n_real, 1)

@@ -1,0 +1,247 @@
+"""Video-model training loop.
+
+Behavior parity with reference train_video.py:101-293: dataset-format
+autodetect (IPAD vs generic), MSE loss, Adam(1e-4, wd=1e-5),
+ReduceLROnPlateau('max') on the separation ratio, best checkpoint selected
+by HIGHEST separation (not loss), a per-epoch checkpoint every epoch, and
+the two early-stop rules (no improvement for 5 epochs while separation <
+1.0; immediate stop if separation < 0.8 after epoch 3).
+
+Results land in ``<results_dir>/video_<category>_<timestamp>/`` — the
+``video_`` prefix is what the UI uses to classify checkpoints
+(reference main.py:57-75).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vad_tpu.data.loader import Loader
+from vad_tpu.data.video_dataset import detect_video_dataset_class
+from vad_tpu.models.video_autoencoder import VideoAutoencoder
+from vad_tpu.ops.losses import mse_per_sample
+from vad_tpu.parallel.sharding import get_mesh, pad_batch_for_devices, padded_batch_size
+from vad_tpu.train.state import (
+    ReduceLROnPlateau,
+    create_train_state,
+    current_learning_rate,
+    set_learning_rate,
+)
+from vad_tpu.train.steps import make_eval_step, make_train_step
+from vad_tpu.utils.checkpoint import save_checkpoint
+
+
+def train(args: Any) -> Dict[str, Any]:
+    devs = jax.devices()
+    print(f"Using {devs[0].platform.upper()}: {len(devs)} device(s) — {devs[0].device_kind}")
+    mesh = get_mesh()
+    pad_bs = padded_batch_size(args.batch_size, mesh)
+
+    print(f"\nLoading video dataset: {args.category}")
+    DatasetClass = detect_video_dataset_class(args.data_dir, args.category)
+    print(f"Using dataset loader: {DatasetClass.__name__}")
+
+    common = dict(
+        sequence_length=args.sequence_length,
+        stride=args.stride,
+        image_size=args.image_size,
+    )
+    train_ds = DatasetClass(args.data_dir, args.category, "train", **common)
+    test_ds = DatasetClass(args.data_dir, args.category, "test", **common)
+    print(f"Training sequences: {len(train_ds)} (all normal)")
+    print(f"Test sequences: {len(test_ds)}")
+
+    train_loader = Loader(
+        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0
+    )
+    test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
+
+    model = VideoAutoencoder(
+        in_channels=3,
+        latent_dim=args.latent_dim,
+        lstm_hidden_dim=args.lstm_hidden_dim,
+        lstm_layers=args.lstm_layers,
+    )
+    variables = model.init(
+        jax.random.key(getattr(args, "seed", 0)),
+        jnp.zeros((1, 2, args.image_size, args.image_size, 3)),
+        train=False,
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    print(f"Model parameters: {n_params:,}")
+
+    state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
+    train_step = make_train_step(mse_per_sample, mesh)
+    eval_step = make_eval_step(
+        mse_per_sample, VideoAutoencoder.reconstruction_error, mesh
+    )
+    scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    results_dir = Path(args.results_dir) / f"video_{args.category}_{timestamp}"
+    results_dir.mkdir(parents=True, exist_ok=True)
+    args_dict = dict(vars(args))
+
+    print(f"\nStarting training for {args.epochs} epochs...")
+    print(f"Sequence length: {args.sequence_length} frames")
+    print("\n*** SAVING BASED ON SEPARATION RATIO (not loss) ***")
+    print("-" * 60)
+
+    best_separation = 0.0
+    best_epoch = 0
+    no_improve = 0
+    patience = 5
+    history: Dict[str, list] = {
+        "train_loss": [], "val_loss": [], "normal_err": [], "anomaly_err": [],
+        "separation": [],
+    }
+
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        total, n_batches = 0.0, 0
+        for batch in iter(train_loader):
+            padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, pad_bs)
+            state, loss = train_step(state, padded["frames"], jnp.asarray(n_real))
+            total += float(loss)
+            n_batches += 1
+        train_loss = total / max(n_batches, 1)
+
+        loss_sum, n_eval = 0.0, 0
+        normal_err, anomaly_err = [], []
+        for batch in iter(test_loader):
+            padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, pad_bs)
+            losses, scores = eval_step(state, padded["frames"])
+            losses = np.asarray(losses)[:n_real]
+            scores = np.asarray(scores)[:n_real]
+            loss_sum += float(losses.mean())
+            n_eval += 1
+            labels = np.asarray(batch["label"])
+            normal_err.extend(scores[labels == 0].tolist())
+            anomaly_err.extend(scores[labels == 1].tolist())
+        val_loss = loss_sum / max(n_eval, 1)
+        nmean = float(np.mean(normal_err)) if normal_err else 0.0
+        amean = float(np.mean(anomaly_err)) if anomaly_err else 0.0
+        separation = amean / nmean if nmean > 0 else 0.0
+
+        new_lr = scheduler.step(separation, current_learning_rate(state))
+        if new_lr != current_learning_rate(state):
+            state = set_learning_rate(state, new_lr)
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["normal_err"].append(nmean)
+        history["anomaly_err"].append(amean)
+        history["separation"].append(separation)
+
+        status = ""
+        if separation > best_separation:
+            status = " <- BEST"
+        elif separation < 1.0:
+            status = " (inverted!)"
+        print(
+            f"Epoch {epoch:3d}/{args.epochs} | "
+            f"Train Loss: {train_loss:.6f} | "
+            f"Val Loss: {val_loss:.6f} | "
+            f"Normal: {nmean:.6f} | "
+            f"Anomaly: {amean:.6f} | "
+            f"Separation: {separation:.2f}x{status} "
+            f"({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+
+        if separation > best_separation:
+            best_separation = separation
+            best_epoch = epoch
+            no_improve = 0
+            save_checkpoint(
+                results_dir / "best_model.ckpt",
+                {
+                    "epoch": epoch,
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "train_loss": train_loss,
+                    "val_loss": val_loss,
+                    "separation": separation,
+                    "normal_err": nmean,
+                    "anomaly_err": amean,
+                    "args": args_dict,
+                    "model_type": "video",
+                },
+            )
+            print(f"  -> Saved best model (separation: {separation:.2f}x)", flush=True)
+        else:
+            no_improve += 1
+
+        save_checkpoint(
+            results_dir / f"checkpoint_epoch_{epoch}.ckpt",
+            {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "separation": separation,
+                "args": args_dict,
+                "model_type": "video",
+            },
+        )
+
+        if no_improve >= patience and separation < 1.0:
+            print(f"\n*** Early stopping: Separation below 1.0 for {patience} epochs ***")
+            print(f"*** Best model was at epoch {best_epoch} with {best_separation:.2f}x separation ***")
+            break
+        if separation < 0.8 and epoch > 3:
+            print(f"\n*** Stopping: Separation inverted to {separation:.2f}x "
+                  f"(anomalies reconstructed better than normal) ***")
+            print(f"*** Best model saved at epoch {best_epoch} with {best_separation:.2f}x separation ***")
+            break
+
+    if best_epoch == 0:
+        # no epoch ever improved separation (e.g. single-class test split):
+        # still leave a usable best checkpoint (robustness addition; the
+        # reference would leave best_model missing in this case)
+        save_checkpoint(
+            results_dir / "best_model.ckpt",
+            {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "train_loss": history["train_loss"][-1] if history["train_loss"] else 0.0,
+                "val_loss": history["val_loss"][-1] if history["val_loss"] else 0.0,
+                "separation": history["separation"][-1] if history["separation"] else 0.0,
+                "args": args_dict,
+                "model_type": "video",
+            },
+        )
+        print("  (no separation improvement seen; saved final weights as best_model)")
+
+    save_checkpoint(
+        results_dir / "final_model.ckpt",
+        {
+            "epoch": args.epochs,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "history": history,
+            "best_epoch": best_epoch,
+            "best_separation": best_separation,
+            "args": args_dict,
+            "model_type": "video",
+        },
+    )
+
+    print("-" * 60)
+    print("Training complete!")
+    print(f"Best separation ratio: {best_separation:.2f}x at epoch {best_epoch}")
+    print(f"Models saved to: {results_dir}")
+    print(f"\nUse: python evaluate_video.py --checkpoint {results_dir}/best_model.ckpt "
+          f"--data-dir {args.data_dir}")
+    return {"state": state, "history": history, "results_dir": results_dir,
+            "best_separation": best_separation, "best_epoch": best_epoch}
