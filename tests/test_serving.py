@@ -1,0 +1,105 @@
+"""MultiStreamScorer tests: slot lifecycle, state isolation, equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vad_tpu.eval.serving import MultiStreamScorer
+from vad_tpu.models.video_autoencoder import VideoAutoencoder
+
+
+@pytest.fixture(scope="module")
+def scorer_setup():
+    model = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32, lstm_layers=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 64, 64, 3)), train=False)
+    return model, variables
+
+
+def make_frames(seed, n, size=64):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(n, size, size, 3), dtype=np.uint8)
+
+
+def test_slot_lifecycle(scorer_setup):
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=4, chunk=4, image_size=64)
+    a = s.attach()
+    b = s.attach()
+    assert {a, b} == {0, 1}
+    with pytest.raises(RuntimeError):
+        s.attach(slot=a)
+    s.detach(a)
+    assert list(s.active_slots) == [b]
+    c = s.attach()
+    assert c == a  # freed slot reused
+
+
+def test_overflow_raises(scorer_setup):
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)
+    s.attach()
+    s.attach()
+    with pytest.raises(RuntimeError, match="busy"):
+        s.attach()
+
+
+def test_inactive_slots_are_nan(scorer_setup):
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=3, chunk=4, image_size=64)
+    slot = s.attach()
+    batch = np.zeros((3, 4, 64, 64, 3), np.uint8)
+    batch[slot] = make_frames(0, 4)
+    scores = s.score_chunk(batch)
+    assert np.all(np.isfinite(scores[slot]))
+    inactive = [i for i in range(3) if i != slot]
+    assert np.all(np.isnan(scores[inactive]))
+
+
+def test_matches_single_stream_scoring(scorer_setup):
+    """A stream scored in a busy scorer == the model scored alone."""
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=3, chunk=4, image_size=64)
+    s0 = s.attach()
+    s1 = s.attach()
+    f0 = make_frames(1, 8)
+    f1 = make_frames(2, 8)
+
+    got = {s0: [], s1: []}
+    for i in range(0, 8, 4):
+        out = s.score_streams({s0: f0[i : i + 4], s1: f1[i : i + 4]})
+        for k, v in out.items():
+            got[k].extend(v.tolist())
+
+    # reference: full-sequence forward per stream
+    for frames, slot in ((f0, s0), (f1, s1)):
+        x = jnp.asarray(frames[None].astype(np.float32) / 127.5 - 1.0)
+        ref = model.apply(
+            variables, x, per_frame=True, method=VideoAutoencoder.reconstruction_error
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[slot]), np.asarray(ref)[0], rtol=2e-4, atol=1e-6
+        )
+
+
+def test_detach_reattach_resets_state(scorer_setup):
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)
+    slot = s.attach()
+    frames = make_frames(3, 4)
+    batch = np.zeros((2, 4, 64, 64, 3), np.uint8)
+    batch[slot] = frames
+    first = s.score_chunk(batch)[slot].copy()
+    s.score_chunk(batch)  # advance state
+    s.detach(slot)
+    assert s.attach(slot) == slot  # re-claim same slot, state zeroed
+    again = s.score_chunk(batch)[slot]
+    np.testing.assert_allclose(again, first, rtol=1e-5, atol=1e-7)
+
+
+def test_shape_validation(scorer_setup):
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)
+    s.attach()
+    with pytest.raises(ValueError, match="expected"):
+        s.score_chunk(np.zeros((2, 3, 64, 64, 3), np.uint8))

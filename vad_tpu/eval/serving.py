@@ -1,0 +1,138 @@
+"""Multi-stream video scoring service (production serving path).
+
+Batches S independent camera/video streams through one compiled
+state-carrying scoring step: uint8 frames in, per-frame anomaly scores
+out, ConvLSTM (h, c) tracked per stream slot.  Streams can attach/detach
+at any time (their slot's state resets to zeros) without recompilation —
+slot count and chunk length are the only static shapes.
+
+This is the component behind bench.py's headline number and has no
+equivalent in the reference (single-video, window-by-window inference,
+evaluate_video.py:309-404).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vad_tpu.models.video_autoencoder import ConvLSTM, VideoAutoencoder
+
+
+class MultiStreamScorer:
+    """Fixed-slot batched scorer over independent video streams.
+
+    Args:
+        model: VideoAutoencoder (any backend).
+        variables: trained variables for the model.
+        num_slots: parallel stream capacity (static batch dim).
+        chunk: frames consumed per step per stream (static time dim).
+        image_size: model input resolution.
+        return_maps: also return per-pixel error maps (costs bandwidth).
+    """
+
+    def __init__(
+        self,
+        model: VideoAutoencoder,
+        variables,
+        num_slots: int = 8,
+        chunk: int = 16,
+        image_size: int = 256,
+        return_maps: bool = False,
+    ) -> None:
+        self.model = model
+        self.variables = variables
+        self.num_slots = num_slots
+        self.chunk = chunk
+        self.image_size = image_size
+        self.return_maps = return_maps
+        lat = image_size // 16
+        self._zero_state = ConvLSTM.zero_state(
+            model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim
+        )
+        self.states = self._zero_state
+        self._active = np.zeros(num_slots, dtype=bool)
+
+        def step(v, u8, states):
+            x = u8.astype(jnp.float32) / 127.5 - 1.0
+            recon, err, scores, new_states = model.apply(
+                v, x, states, method=VideoAutoencoder.stream_step
+            )
+            if return_maps:
+                return scores, err, new_states
+            return scores, None, new_states
+
+        self._step = jax.jit(step)
+
+    # ------------------------------------------------------------- slots
+
+    def attach(self, slot: Optional[int] = None) -> int:
+        """Claim a stream slot (state zeroed); returns the slot id."""
+        if slot is None:
+            free = np.flatnonzero(~self._active)
+            if len(free) == 0:
+                raise RuntimeError(f"all {self.num_slots} stream slots busy")
+            slot = int(free[0])
+        if self._active[slot]:
+            raise RuntimeError(f"slot {slot} already attached")
+        self._reset_slot(slot)
+        self._active[slot] = True
+        return slot
+
+    def detach(self, slot: int) -> None:
+        self._active[slot] = False
+
+    def _reset_slot(self, slot: int) -> None:
+        new_states = []
+        for (h, c), (zh, zc) in zip(self.states, self._zero_state):
+            new_states.append((h.at[slot].set(zh[slot]), c.at[slot].set(zc[slot])))
+        self.states = tuple(new_states)
+
+    @property
+    def active_slots(self) -> np.ndarray:
+        return np.flatnonzero(self._active)
+
+    # ------------------------------------------------------------- score
+
+    def score_chunk(self, frames_u8: np.ndarray):
+        """Score one chunk across all slots.
+
+        Args:
+            frames_u8: [num_slots, chunk, H, W, 3] uint8 (RGB).  Inactive
+                slots may carry arbitrary data; their scores are NaN.
+
+        Returns:
+            scores [num_slots, chunk] float (NaN for inactive slots), and
+            error maps [num_slots, chunk, H, W] when return_maps is set.
+        """
+        if frames_u8.shape != (self.num_slots, self.chunk, self.image_size, self.image_size, 3):
+            raise ValueError(
+                f"expected {(self.num_slots, self.chunk, self.image_size, self.image_size, 3)}, "
+                f"got {frames_u8.shape}"
+            )
+        scores, maps, self.states = self._step(
+            self.variables, jnp.asarray(frames_u8), self.states
+        )
+        scores = np.array(scores)  # owned copy (np.asarray of a jax array is read-only)
+        scores[~self._active] = np.nan
+        if self.return_maps:
+            return scores, np.asarray(maps)
+        return scores
+
+    def score_streams(self, streams: Dict[int, Sequence[np.ndarray]]) -> Dict[int, np.ndarray]:
+        """Convenience: feed per-slot frame lists (each a chunk of frames)."""
+        batch = np.zeros(
+            (self.num_slots, self.chunk, self.image_size, self.image_size, 3), np.uint8
+        )
+        for slot, frames in streams.items():
+            if not self._active[slot]:
+                raise RuntimeError(f"slot {slot} is not attached")
+            arr = np.stack(list(frames))
+            if arr.shape[0] != self.chunk:
+                raise ValueError(f"slot {slot}: expected {self.chunk} frames, got {arr.shape[0]}")
+            batch[slot] = arr
+        scores = self.score_chunk(batch)
+        return {slot: scores[slot] for slot in streams}

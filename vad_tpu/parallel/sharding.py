@@ -69,11 +69,12 @@ def convlstm_param_shardings(params, mesh: Mesh):
 
     def spec_for(path, leaf) -> NamedSharding:
         names = [getattr(p, "key", str(p)) for p in path]
-        is_gate_kernel = any("ConvLSTMLayer" in n for n in names) and names[-1] == "kernel"
-        if model_n > 1 and is_gate_kernel and leaf.ndim == 4 and leaf.shape[-1] % model_n == 0:
-            return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
-        if model_n > 1 and is_gate_kernel and leaf.ndim == 1 and leaf.shape[-1] % model_n == 0:
-            return NamedSharding(mesh, P(MODEL_AXIS))
+        in_gate_layer = any("ConvLSTMLayer" in n for n in names)
+        if model_n > 1 and in_gate_layer and leaf.shape[-1] % model_n == 0:
+            if names[-1] == "kernel" and leaf.ndim == 4:
+                return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+            if names[-1] == "bias" and leaf.ndim == 1:
+                return NamedSharding(mesh, P(MODEL_AXIS))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -154,6 +154,9 @@ def train(args: Any) -> Dict[str, Any]:
         results_dir.mkdir(parents=True, exist_ok=True)
 
     args_dict = dict(vars(args))
+    from vad_tpu.utils.profiling import MetricsLogger
+
+    metrics = MetricsLogger(results_dir)
 
     print(f"\nStarting training for {args.epochs} epochs...")
     print("-" * 60)
@@ -187,6 +190,16 @@ def train(args: Any) -> Dict[str, Any]:
             f"({time.time() - t0:.1f}s)",
             flush=True,
         )
+        metrics.log(
+            epoch,
+            train_loss=train_loss,
+            val_loss=val_loss,
+            normal_err=normal_err,
+            anomaly_err=anomaly_err,
+            separation=separation,
+            lr=current_learning_rate(state),
+            epoch_seconds=time.time() - t0,
+        )
 
         payload = {
             "epoch": epoch,
@@ -206,6 +219,11 @@ def train(args: Any) -> Dict[str, Any]:
 
     if payload is not None:
         save_checkpoint(results_dir / "final_model.ckpt", {**payload, "epoch": args.epochs})
+
+    if history["train_loss"]:
+        from vad_tpu.eval.plots import plot_training_history
+
+        plot_training_history(history, results_dir / "training_history.png")
 
     print("-" * 60)
     print("Training complete!")

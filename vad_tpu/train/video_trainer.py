@@ -84,10 +84,30 @@ def train(args: Any) -> Dict[str, Any]:
     )
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
 
-    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-    results_dir = Path(args.results_dir) / f"video_{args.category}_{timestamp}"
-    results_dir.mkdir(parents=True, exist_ok=True)
+    start_epoch = 1
+    resume_path = getattr(args, "resume", None)
+    if resume_path:
+        from vad_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(resume_path)
+        state = state.replace(
+            params=ckpt["params"],
+            batch_stats=ckpt["batch_stats"],
+            opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"])
+            if ckpt.get("opt_state") is not None
+            else state.opt_state,
+        )
+        start_epoch = int(ckpt.get("epoch", 0)) + 1
+        results_dir = Path(resume_path).parent
+        print(f"Resumed from {resume_path} at epoch {start_epoch}")
+    else:
+        timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        results_dir = Path(args.results_dir) / f"video_{args.category}_{timestamp}"
+        results_dir.mkdir(parents=True, exist_ok=True)
     args_dict = dict(vars(args))
+    from vad_tpu.utils.profiling import MetricsLogger
+
+    metrics = MetricsLogger(results_dir)
 
     print(f"\nStarting training for {args.epochs} epochs...")
     print(f"Sequence length: {args.sequence_length} frames")
@@ -103,7 +123,8 @@ def train(args: Any) -> Dict[str, Any]:
         "separation": [],
     }
 
-    for epoch in range(1, args.epochs + 1):
+    epoch = start_epoch - 1  # stable if the loop body never runs (resume at end)
+    for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         total, n_batches = 0.0, 0
         for batch in iter(train_loader):
@@ -154,6 +175,16 @@ def train(args: Any) -> Dict[str, Any]:
             f"Separation: {separation:.2f}x{status} "
             f"({time.time() - t0:.1f}s)",
             flush=True,
+        )
+        metrics.log(
+            epoch,
+            train_loss=train_loss,
+            val_loss=val_loss,
+            normal_err=nmean,
+            anomaly_err=amean,
+            separation=separation,
+            lr=current_learning_rate(state),
+            epoch_seconds=time.time() - t0,
         )
 
         if separation > best_separation:
@@ -236,6 +267,11 @@ def train(args: Any) -> Dict[str, Any]:
             "model_type": "video",
         },
     )
+
+    if history["train_loss"]:
+        from vad_tpu.eval.plots import plot_training_history
+
+        plot_training_history(history, results_dir / "training_history.png")
 
     print("-" * 60)
     print("Training complete!")
