@@ -91,6 +91,17 @@ def test_state_carrying_chunks_match():
     np.testing.assert_allclose(np.asarray(h2), np.asarray(hf), rtol=1e-4, atol=1e-5)
 
 
+def test_bf16_matches_xla_within_bf16_rounding():
+    gates_x, w_h, h0, c0 = make_inputs(t=4, seed=5)
+    to16 = lambda a: a.astype(jnp.bfloat16)
+    h_seq, _ = convlstm_recurrence_pallas(to16(gates_x), to16(w_h), to16(h0), to16(c0))
+    assert h_seq.dtype == jnp.bfloat16
+    ref_seq, _ = xla_reference(gates_x, w_h, h0, c0)
+    np.testing.assert_allclose(
+        np.asarray(h_seq, np.float32), np.asarray(ref_seq), rtol=0.05, atol=0.02
+    )
+
+
 def test_unsupported_shape_raises():
     gates_x = jnp.zeros((1, 2, 16, 16, 4 * 96))
     w_h = jnp.zeros((3, 3, 96, 4 * 96))

@@ -97,6 +97,23 @@ def test_detach_reattach_resets_state(scorer_setup):
     np.testing.assert_allclose(again, first, rtol=1e-5, atol=1e-7)
 
 
+def test_bf16_policy_close_to_f32(scorer_setup):
+    """bf16 serving scores track the f32 scores within ~1% relative."""
+    model, variables = scorer_setup
+    f32 = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)
+    bf16 = MultiStreamScorer(
+        model, variables, num_slots=2, chunk=4, image_size=64, dtype=jnp.bfloat16
+    )
+    f32.attach(0)
+    bf16.attach(0)
+    batch = np.zeros((2, 4, 64, 64, 3), np.uint8)
+    batch[0] = make_frames(9, 4)
+    s32 = f32.score_chunk(batch)[0]
+    s16 = bf16.score_chunk(batch)[0]
+    assert s16.dtype == np.float32  # scores surfaced in f32 either way
+    np.testing.assert_allclose(s16, s32, rtol=0.03)
+
+
 def test_shape_validation(scorer_setup):
     model, variables = scorer_setup
     s = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)

@@ -42,28 +42,32 @@ class MultiStreamScorer:
         chunk: int = 16,
         image_size: int = 256,
         return_maps: bool = False,
+        dtype=jnp.float32,
     ) -> None:
+        from vad_tpu.utils.precision import cast_floating
+
         self.model = model
-        self.variables = variables
+        self.variables = cast_floating(variables, dtype) if dtype != jnp.float32 else variables
         self.num_slots = num_slots
         self.chunk = chunk
         self.image_size = image_size
         self.return_maps = return_maps
+        self.dtype = dtype
         lat = image_size // 16
         self._zero_state = ConvLSTM.zero_state(
-            model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim
+            model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim, dtype=dtype
         )
         self.states = self._zero_state
         self._active = np.zeros(num_slots, dtype=bool)
 
         def step(v, u8, states):
-            x = u8.astype(jnp.float32) / 127.5 - 1.0
+            x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
             recon, err, scores, new_states = model.apply(
                 v, x, states, method=VideoAutoencoder.stream_step
             )
             if return_maps:
-                return scores, err, new_states
-            return scores, None, new_states
+                return scores.astype(jnp.float32), err.astype(jnp.float32), new_states
+            return scores.astype(jnp.float32), None, new_states
 
         self._step = jax.jit(step)
 

@@ -61,10 +61,10 @@ def _recurrence_kernel(
     def _init():
         # zero borders once; interior overwritten every step
         h_pad[...] = jnp.zeros_like(h_pad)
-        h_pad[1 : height + 1, 1 : width + 1, :] = h0_ref[0].reshape(
-            height, width, channels
+        h_pad[1 : height + 1, 1 : width + 1, :] = (
+            h0_ref[0].reshape(height, width, channels).astype(h_pad.dtype)
         )
-        c_state[...] = c0_ref[0]
+        c_state[...] = c0_ref[0].astype(jnp.float32)
 
     # hidden-state contribution: 9 shifted taps, each an MXU matmul
     acc = gates_x_ref[0, 0].astype(jnp.float32)
@@ -86,7 +86,9 @@ def _recurrence_kernel(
     h_next = o * jnp.tanh(c_next)
 
     c_state[...] = c_next
-    h_pad[1 : height + 1, 1 : width + 1, :] = h_next.reshape(height, width, channels)
+    h_pad[1 : height + 1, 1 : width + 1, :] = h_next.reshape(
+        height, width, channels
+    ).astype(h_pad.dtype)
     out_ref[0, 0] = h_next.astype(out_ref.dtype)
 
     @pl.when(t == n_t - 1)
@@ -152,7 +154,10 @@ def convlstm_recurrence_pallas(
             jax.ShapeDtypeStruct((b, hw, channels), gates_x.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((height + 2, width + 2, channels), jnp.float32),
+            # hidden state in the compute dtype (bf16 taps feed the MXU
+            # directly); cell state always f32 — it accumulates across the
+            # whole sequence and drives the gate nonlinearities
+            pltpu.VMEM((height + 2, width + 2, channels), gates_x.dtype),
             pltpu.VMEM((hw, channels), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
