@@ -125,3 +125,33 @@ class TestCheckpoint:
         model, state = small_state()
         save_checkpoint(tmp_path / "m.ckpt", {"params": state.params})
         assert list(tmp_path.glob("*.tmp")) == []
+
+
+class TestRemat:
+    def test_remat_grad_matches(self):
+        """jax.checkpoint over the scan step changes memory, not values."""
+        import jax
+        import jax.numpy as jnp
+        from vad_tpu.models.video_autoencoder import VideoAutoencoder
+        from vad_tpu.ops.losses import mse_loss
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 4, 32, 32, 3)), jnp.float32
+        )
+        base = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32)
+        variables = base.init(jax.random.key(0), x[:, :2], train=False)
+        remat = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32, remat=True)
+
+        def loss_for(model):
+            def f(params):
+                recon, _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return mse_loss(recon, x)
+            return f
+
+        g_base = jax.grad(loss_for(base))(variables["params"])
+        g_remat = jax.grad(loss_for(remat))(variables["params"])
+        for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -31,11 +31,12 @@ from vad_tpu.utils.checkpoint import load_checkpoint
 
 def load_image_model(checkpoint_path: str | Path) -> Tuple[ConvAutoencoder, Dict, Dict]:
     """(model, variables, train_args) from a self-describing checkpoint."""
+    from vad_tpu.core.config import ImageAEConfig
+
     ckpt = load_checkpoint(checkpoint_path)
     train_args = ckpt.get("args", {})
-    model = ConvAutoencoder(
-        in_channels=3, latent_dim=int(train_args.get("latent_dim", 256))
-    )
+    cfg = ImageAEConfig.from_args(train_args)
+    model = ConvAutoencoder(in_channels=cfg.in_channels, latent_dim=cfg.latent_dim)
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
     epoch = ckpt.get("epoch", "unknown")
     print(f"Loaded model from epoch {epoch}")

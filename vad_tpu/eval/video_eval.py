@@ -51,13 +51,16 @@ def create_heatmap(error_map: np.ndarray, size=None) -> np.ndarray:
 
 
 def load_video_model(checkpoint_path: str | Path) -> Tuple[VideoAutoencoder, Dict, Dict]:
+    from vad_tpu.core.config import VideoAEConfig
+
     ckpt = load_checkpoint(checkpoint_path)
     saved = ckpt.get("args", {})
+    cfg = VideoAEConfig.from_args(saved)
     model = VideoAutoencoder(
-        in_channels=3,
-        latent_dim=int(saved.get("latent_dim", 128)),
-        lstm_hidden_dim=int(saved.get("lstm_hidden_dim", 128)),
-        lstm_layers=int(saved.get("lstm_layers", 2)),
+        in_channels=cfg.in_channels,
+        latent_dim=cfg.latent_dim,
+        lstm_hidden_dim=cfg.lstm_hidden_dim,
+        lstm_layers=cfg.lstm_layers,
     )
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
     print(f"Loaded model from epoch {ckpt.get('epoch', 'unknown')}")

@@ -147,3 +147,22 @@ class ConvAutoencoder(nn.Module):
         if per_pixel:
             return err
         return jnp.mean(err, axis=(1, 2))
+
+
+if __name__ == "__main__":
+    # smoke check: param count + forward/error shapes (the reference keeps
+    # the same kind of runnable block at autoencoder.py:225-242)
+    import jax
+    import numpy as np
+
+    model = ConvAutoencoder()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)), train=False)
+    total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    print(f"Total parameters: {total:,}")
+    x = jnp.zeros((4, 256, 256, 3))
+    print("Input shape:", x.shape)
+    print("Output shape:", model.apply(variables, x, train=False).shape)
+    emap = model.apply(variables, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error)
+    esc = model.apply(variables, x, method=ConvAutoencoder.reconstruction_error)
+    print("Error map shape:", emap.shape)
+    print("Error scalar shape:", esc.shape)

@@ -108,6 +108,7 @@ class ConvLSTMLayer(nn.Module):
     hidden_dim: int
     kernel_size: int = 3
     backend: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_seq: jnp.ndarray, initial_state=None, return_state: bool = False):
@@ -116,6 +117,9 @@ class ConvLSTMLayer(nn.Module):
         ``initial_state``: optional (h, c) carried across chunks for
         streaming inference; defaults to zeros.  With ``return_state`` the
         final (h, c) is returned alongside the hidden sequence.
+        ``remat`` recomputes each step's activations in the backward pass
+        (constant activation memory in T — the reference manages long-
+        sequence memory by telling the user to shrink T, README.md:282-286).
         """
         b, t, hgt, wid, _ = x_seq.shape
         k = self.kernel_size
@@ -153,6 +157,9 @@ class ConvLSTMLayer(nn.Module):
             h, c = convlstm_step(gates_x_t, h, c, w_h)
             return (h, c), h
 
+        if self.remat:
+            step = jax.checkpoint(step)
+
         # Scan over time (axis moved to leading): constant memory per step.
         final, h_seq = jax.lax.scan(step, (h0, c0), jnp.moveaxis(gates_x, 1, 0))
         out = jnp.moveaxis(h_seq, 0, 1)
@@ -171,6 +178,7 @@ class ConvLSTM(nn.Module):
     num_layers: int = 2
     kernel_size: int = 3
     backend: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_seq: jnp.ndarray, initial_states=None, return_state: bool = False):
@@ -178,7 +186,10 @@ class ConvLSTM(nn.Module):
         finals = []
         for i in range(self.num_layers):
             in_dim = self.input_dim if i == 0 else self.hidden_dim
-            layer = ConvLSTMLayer(in_dim, self.hidden_dim, self.kernel_size, backend=self.backend)
+            layer = ConvLSTMLayer(
+                in_dim, self.hidden_dim, self.kernel_size,
+                backend=self.backend, remat=self.remat,
+            )
             init = initial_states[i] if initial_states is not None else None
             if return_state:
                 x_seq, final = layer(x_seq, init, return_state=True)
@@ -264,6 +275,7 @@ class VideoAutoencoder(nn.Module):
     lstm_hidden_dim: int = 128
     lstm_layers: int = 2
     backend: str = "xla"
+    remat: bool = False
 
     def setup(self) -> None:
         self.encoder = VideoEncoder(self.latent_dim)
@@ -272,6 +284,7 @@ class VideoAutoencoder(nn.Module):
             hidden_dim=self.lstm_hidden_dim,
             num_layers=self.lstm_layers,
             backend=self.backend,
+            remat=self.remat,
         )
         if self.lstm_hidden_dim != self.latent_dim:
             self.proj = nn.Conv(self.latent_dim, (1, 1), kernel_init=conv_init)
@@ -326,3 +339,24 @@ class VideoAutoencoder(nn.Module):
         if per_frame:
             return jnp.mean(err, axis=(2, 3))
         return jnp.mean(err, axis=(1, 2, 3))
+
+
+if __name__ == "__main__":
+    # smoke check mirroring reference video_autoencoder.py:388-413
+    import jax
+    import numpy as np
+
+    model = VideoAutoencoder()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 256, 256, 3)), train=False)
+    total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    print(f"Total parameters: {total:,}")
+    x = jnp.zeros((2, 16, 256, 256, 3))
+    print("Input shape:", x.shape)
+    print("Output shape:", model.apply(variables, x, train=False).shape)
+    for kwargs, name in (
+        ({}, "Sequence"),
+        ({"per_frame": True}, "Per-frame"),
+        ({"per_pixel": True}, "Per-pixel"),
+    ):
+        e = model.apply(variables, x, method=VideoAutoencoder.reconstruction_error, **kwargs)
+        print(f"{name} error shape:", e.shape)

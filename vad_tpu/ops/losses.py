@@ -168,3 +168,17 @@ def make_loss_fn(name: str, ssim_weight: float = 0.5):
     if name == "combined":
         return functools.partial(combined_loss, alpha=ssim_weight)
     raise ValueError(f"unknown loss '{name}' (expected mse|ssim|combined)")
+
+
+if __name__ == "__main__":
+    # smoke check mirroring reference losses.py:125-138
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.normal(size=(4, 256, 256, 3)), jnp.float32)
+    img2 = img1 + 0.1 * jnp.asarray(rng.normal(size=img1.shape), jnp.float32)
+    img3 = jnp.asarray(rng.normal(size=img1.shape), jnp.float32)
+    print("SSIM Loss (similar images):", float(ssim_loss(img1, img2)))
+    print("SSIM Loss (different images):", float(ssim_loss(img1, img3)))
+    print("Combined Loss (similar):", float(combined_loss(img1, img2)))
+    print("Combined Loss (different):", float(combined_loss(img1, img3)))

@@ -68,6 +68,7 @@ def train(args: Any) -> Dict[str, Any]:
         latent_dim=args.latent_dim,
         lstm_hidden_dim=args.lstm_hidden_dim,
         lstm_layers=args.lstm_layers,
+        remat=bool(getattr(args, "remat", False)),
     )
     variables = model.init(
         jax.random.key(getattr(args, "seed", 0)),
