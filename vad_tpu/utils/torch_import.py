@@ -1,0 +1,193 @@
+"""Import reference (PyTorch) checkpoints into this framework.
+
+A user of the reference can bring their trained `best_model.pth` directly:
+
+    python -m vad_tpu.utils.torch_import --checkpoint best_model.pth \
+        --out best_model.ckpt
+
+The importer maps the reference's exact module naming
+(models/autoencoder.py: encoder.enc1..enc4 / decoder.dec1..dec4;
+models/video_autoencoder.py: encoder.encoder.N / convlstm.cells.K.conv /
+proj / decoder.decoder.N) onto this framework's Flax trees, with the
+layout conversions:
+
+- Conv2d weight  [O, I, kh, kw] -> [kh, kw, I, O];
+- ConvTranspose2d weight [I, O, kh, kw] -> [kh, kw, I, O] with both
+  spatial dims flipped (flax ConvTranspose is a fractionally-strided
+  convolution, torch's is the conv gradient; verified numerically in
+  tests/test_torch_import.py);
+- BatchNorm weight/bias -> scale/bias params, running_mean/var ->
+  batch_stats;
+- the fused ConvLSTM gate conv [4H, I+H, k, k] -> kernel [k, k, I+H, 4H]
+  (identical i, f, g, o gate order).
+
+The resulting checkpoint is self-describing (same ``args``) and behaves
+identically through evaluate.py / evaluate_video.py within float
+tolerance.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _conv_kernel(w) -> np.ndarray:
+    return np.transpose(_np(w), (2, 3, 1, 0))
+
+
+def _convT_kernel(w) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(_np(w), (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _bn(sd: Mapping, prefix: str) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def _conv(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _conv_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convT(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _convT_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def import_image_state_dict(sd: Mapping) -> Tuple[Dict, Dict]:
+    """Reference ConvAutoencoder state_dict -> (params, batch_stats)."""
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+    stats: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+
+    # encoder: enc1..enc4, each Sequential [Conv,BN,LReLU,Conv,BN,LReLU,Pool]
+    for i in range(4):
+        blk_p: Dict[str, Any] = {}
+        blk_s: Dict[str, Any] = {}
+        for j, (ci, bi) in enumerate(((0, 1), (3, 4))):
+            blk_p[f"Conv_{j}"] = _conv(sd, f"encoder.enc{i + 1}.{ci}")
+            bn_p, bn_s = _bn(sd, f"encoder.enc{i + 1}.{bi}")
+            blk_p[f"BatchNorm_{j}"] = bn_p
+            blk_s[f"BatchNorm_{j}"] = bn_s
+        params["encoder"][f"EncoderBlock_{i}"] = blk_p
+        stats["encoder"][f"EncoderBlock_{i}"] = blk_s
+
+    # decoder blocks dec1..dec3: Sequential [ConvT,BN,ReLU,Conv,BN,ReLU]
+    for i in range(3):
+        blk_p = {"ConvTranspose_0": _convT(sd, f"decoder.dec{i + 1}.0")}
+        blk_s = {}
+        bn_p, bn_s = _bn(sd, f"decoder.dec{i + 1}.1")
+        blk_p["BatchNorm_0"] = bn_p
+        blk_s["BatchNorm_0"] = bn_s
+        blk_p["Conv_0"] = _conv(sd, f"decoder.dec{i + 1}.3")
+        bn_p, bn_s = _bn(sd, f"decoder.dec{i + 1}.4")
+        blk_p["BatchNorm_1"] = bn_p
+        blk_s["BatchNorm_1"] = bn_s
+        params["decoder"][f"DecoderBlock_{i}"] = blk_p
+        stats["decoder"][f"DecoderBlock_{i}"] = blk_s
+
+    # final block dec4: [ConvT,BN,ReLU,Conv,Tanh]
+    params["decoder"]["ConvTranspose_0"] = _convT(sd, "decoder.dec4.0")
+    bn_p, bn_s = _bn(sd, "decoder.dec4.1")
+    params["decoder"]["BatchNorm_0"] = bn_p
+    stats["decoder"]["BatchNorm_0"] = bn_s
+    params["decoder"]["Conv_0"] = _conv(sd, "decoder.dec4.3")
+    return params, stats
+
+
+def import_video_state_dict(sd: Mapping) -> Tuple[Dict, Dict]:
+    """Reference VideoAutoencoder state_dict -> (params, batch_stats)."""
+    params: Dict[str, Any] = {"encoder": {}, "convlstm": {}, "decoder": {}}
+    stats: Dict[str, Any] = {"encoder": {}}
+
+    # encoder Sequential: [Conv,BN,LReLU,Pool] x4 -> conv 0,4,8,12; bn 1,5,9,13
+    for i in range(4):
+        params["encoder"][f"Conv_{i}"] = _conv(sd, f"encoder.encoder.{4 * i}")
+        bn_p, bn_s = _bn(sd, f"encoder.encoder.{4 * i + 1}")
+        params["encoder"][f"BatchNorm_{i}"] = bn_p
+        stats["encoder"][f"BatchNorm_{i}"] = bn_s
+
+    # ConvLSTM cells: fused gate conv [4H, I+H, k, k]
+    layer = 0
+    while f"convlstm.cells.{layer}.conv.weight" in sd:
+        params["convlstm"][f"ConvLSTMLayer_{layer}"] = {
+            "kernel": _conv_kernel(sd[f"convlstm.cells.{layer}.conv.weight"]),
+            "bias": _np(sd[f"convlstm.cells.{layer}.conv.bias"]),
+        }
+        layer += 1
+
+    if "proj.weight" in sd:  # 1x1 projection (only when hidden != latent)
+        params["proj"] = _conv(sd, "proj")
+
+    # decoder Sequential: [ConvT,BN,ReLU] x3 + [ConvT,Tanh]
+    stats["decoder"] = {}
+    for i in range(3):
+        params["decoder"][f"ConvTranspose_{i}"] = _convT(sd, f"decoder.decoder.{3 * i}")
+        bn_p, bn_s = _bn(sd, f"decoder.decoder.{3 * i + 1}")
+        params["decoder"][f"BatchNorm_{i}"] = bn_p
+        stats["decoder"][f"BatchNorm_{i}"] = bn_s
+    params["decoder"]["ConvTranspose_3"] = _convT(sd, "decoder.decoder.9")
+    return params, stats
+
+
+def detect_model_type(sd: Mapping) -> str:
+    return "video" if any(k.startswith("convlstm.") for k in sd) else "image"
+
+
+def import_torch_checkpoint(checkpoint: str | Path | Mapping) -> Dict[str, Any]:
+    """Full reference checkpoint (path or loaded dict) -> our payload dict."""
+    if isinstance(checkpoint, (str, Path)):
+        import torch
+
+        checkpoint = torch.load(str(checkpoint), map_location="cpu", weights_only=False)
+    sd = checkpoint.get("model_state_dict", checkpoint)
+    model_type = detect_model_type(sd)
+    if model_type == "video":
+        params, batch_stats = import_video_state_dict(sd)
+    else:
+        params, batch_stats = import_image_state_dict(sd)
+    return {
+        "params": params,
+        "batch_stats": batch_stats,
+        "opt_state": None,  # torch Adam moments are not transferable
+        "epoch": checkpoint.get("epoch"),
+        "train_loss": checkpoint.get("train_loss"),
+        "val_loss": checkpoint.get("val_loss"),
+        "separation": checkpoint.get("separation"),
+        "history": checkpoint.get("history"),
+        "args": dict(checkpoint.get("args", {})),
+        "model_type": model_type,
+        "imported_from": "pytorch",
+    }
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Import a reference .pth checkpoint")
+    parser.add_argument("--checkpoint", required=True, help="path to torch .pth")
+    parser.add_argument("--out", required=True, help="output .ckpt path")
+    args = parser.parse_args(argv)
+
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    payload = import_torch_checkpoint(args.checkpoint)
+    save_checkpoint(args.out, payload)
+    print(f"Imported {payload['model_type']} checkpoint -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
