@@ -74,6 +74,7 @@ def test_evaluate_cli(trained_run):
     assert text.startswith("AUROC: ")
     assert "defect: ANOMALY" in text
     assert "good: NORMAL" in text
+    assert "Pixel-level AUROC:" in text  # localization metric (with GT masks)
 
 
 def test_resume_continues(trained_run):

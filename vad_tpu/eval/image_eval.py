@@ -63,6 +63,34 @@ def compute_scores(model, variables, test_ds, batch_size: int = 16, num_workers:
     return np.concatenate(labels), np.concatenate(scores), defects
 
 
+def compute_pixel_auroc(model, variables, test_ds, batch_size: int = 16) -> float:
+    """Pixel-level localization AUROC against the ground-truth masks.
+
+    Beyond-reference capability (the reference loads GT masks but never
+    scores localization): per-pixel error maps vs binarized masks over
+    the whole test split.
+    """
+    loader = Loader(test_ds, batch_size, num_workers=4)
+
+    @jax.jit
+    def maps_step(v, x):
+        return model.apply(
+            v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
+        )
+
+    scores, labels = [], []
+    for batch in loader:
+        padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
+        err = np.asarray(maps_step(variables, padded["image"]))[:n_real]
+        scores.append(err.reshape(-1))
+        labels.append((np.asarray(batch["mask"]) > 0.5).astype(np.int64).reshape(-1))
+    scores = np.concatenate(scores)
+    labels = np.concatenate(labels)
+    if labels.min() == labels.max():
+        return float("nan")
+    return auroc(labels, scores)
+
+
 def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
     """Half normal / half anomalous samples with recon + error map + mask
     (reference evaluate.py:113-131 selection policy)."""
@@ -98,8 +126,11 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
     return rows
 
 
-def write_results_txt(path: Path, score: float, breakdown: Dict[str, Dict]) -> None:
-    """reference evaluate.py:273-278 format, byte-compatible."""
+def write_results_txt(
+    path: Path, score: float, breakdown: Dict[str, Dict], pixel_score: float = float("nan")
+) -> None:
+    """reference evaluate.py:273-278 format (leading lines byte-compatible;
+    pixel AUROC appended as an extra trailing line when available)."""
     with open(path, "w") as f:
         f.write(f"AUROC: {score:.4f}\n\n")
         f.write("Per-defect breakdown:\n")
@@ -109,6 +140,8 @@ def write_results_txt(path: Path, score: float, breakdown: Dict[str, Dict]) -> N
                 f"  {defect}: {status}, n={res['count']}, "
                 f"mean_score={res['mean_score']:.4f}\n"
             )
+        if np.isfinite(pixel_score):
+            f.write(f"\nPixel-level AUROC: {pixel_score:.4f}\n")
 
 
 def evaluate(args: Any) -> float:
@@ -134,9 +167,12 @@ def evaluate(args: Any) -> float:
     labels, scores, defects = compute_scores(model, variables, test_ds)
     score = auroc(labels, scores)
     breakdown = per_defect_breakdown(labels, scores, defects)
+    pixel_score = compute_pixel_auroc(model, variables, test_ds)
 
     print(f"\n{'=' * 50}")
     print(f"AUROC: {score:.4f}")
+    if np.isfinite(pixel_score):
+        print(f"Pixel-level AUROC: {pixel_score:.4f}")
     print(f"{'=' * 50}")
     print("\nPer-defect-type breakdown:")
     print("-" * 40)
@@ -152,7 +188,7 @@ def evaluate(args: Any) -> float:
     plot_score_distribution(labels, scores, output_dir / "score_distribution.png")
     rows = make_reconstruction_rows(model, variables, test_ds)
     plot_reconstruction_grid(rows, output_dir / "reconstructions.png")
-    write_results_txt(output_dir / "results.txt", score, breakdown)
+    write_results_txt(output_dir / "results.txt", score, breakdown, pixel_score)
 
     print(f"\nResults saved to: {output_dir}")
     return score
