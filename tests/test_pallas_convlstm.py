@@ -102,6 +102,76 @@ def test_bf16_matches_xla_within_bf16_rounding():
     )
 
 
+class TestCustomVJP:
+    """The backward Pallas kernel vs XLA autodiff of the scan reference."""
+
+    @staticmethod
+    def _loss_through(fn, rng):
+        r1, r2, r3 = None, None, None
+
+        def loss(gx, wh, h0, c0):
+            nonlocal r1, r2, r3
+            hs, (hf, cf) = fn(gx, wh, h0, c0)
+            if r1 is None:
+                r1 = jnp.asarray(rng.normal(size=hs.shape), jnp.float32)
+                r2 = jnp.asarray(rng.normal(size=hf.shape), jnp.float32)
+                r3 = jnp.asarray(rng.normal(size=cf.shape), jnp.float32)
+            return jnp.sum(hs * r1) + jnp.sum(hf * r2) + jnp.sum(cf * r3)
+
+        return loss
+
+    def test_gradients_match_xla(self):
+        gates_x, w_h, h0, c0 = make_inputs(b=2, t=4, seed=7)
+        rng = np.random.default_rng(8)
+        with jax.default_matmul_precision("highest"):
+            g_pal = jax.grad(
+                self._loss_through(convlstm_recurrence_pallas, rng), argnums=(0, 1, 2, 3)
+            )(gates_x, w_h, h0, c0)
+            g_xla = jax.grad(
+                self._loss_through(xla_reference, np.random.default_rng(8)),
+                argnums=(0, 1, 2, 3),
+            )(gates_x, w_h, h0, c0)
+        for name, a, b in zip(("dgates_x", "dw_h", "dh0", "dc0"), g_pal, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+            )
+
+    def test_full_model_training_grads_match(self):
+        """backend='pallas' trains identically to backend='xla'."""
+        from vad_tpu.models.video_autoencoder import VideoAutoencoder
+        from vad_tpu.ops.losses import mse_loss
+
+        x = jnp.asarray(
+            np.random.default_rng(9).normal(size=(1, 3, 128, 128, 3)) * 0.5, jnp.float32
+        )
+        m_xla = VideoAutoencoder(latent_dim=128, lstm_hidden_dim=128, lstm_layers=2)
+        variables = m_xla.init(jax.random.key(0), x[:, :2], train=False)
+        m_pal = VideoAutoencoder(
+            latent_dim=128, lstm_hidden_dim=128, lstm_layers=2, backend="pallas"
+        )
+
+        def loss_for(model):
+            def f(params):
+                recon, _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return mse_loss(recon, x)
+
+            return f
+
+        with jax.default_matmul_precision("highest"):
+            g_xla = jax.grad(loss_for(m_xla))(variables["params"])
+            g_pal = jax.grad(loss_for(m_pal))(variables["params"])
+        flat_x = jax.tree_util.tree_leaves_with_path(g_xla)
+        flat_p = jax.tree.leaves(g_pal)
+        for (path, a), b in zip(flat_x, flat_p):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+
 def test_unsupported_shape_raises():
     gates_x = jnp.zeros((1, 2, 16, 16, 4 * 96))
     w_h = jnp.zeros((3, 3, 96, 4 * 96))

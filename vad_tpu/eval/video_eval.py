@@ -53,14 +53,18 @@ def create_heatmap(error_map: np.ndarray, size=None) -> np.ndarray:
 def load_video_model(checkpoint_path: str | Path) -> Tuple[VideoAutoencoder, Dict, Dict]:
     from vad_tpu.core.config import VideoAEConfig
 
+    from vad_tpu.ops.convlstm_pallas import preferred_backend
+
     ckpt = load_checkpoint(checkpoint_path)
     saved = ckpt.get("args", {})
     cfg = VideoAEConfig.from_args(saved)
+    lat = cfg.image_size // 16
     model = VideoAutoencoder(
         in_channels=cfg.in_channels,
         latent_dim=cfg.latent_dim,
         lstm_hidden_dim=cfg.lstm_hidden_dim,
         lstm_layers=cfg.lstm_layers,
+        backend=preferred_backend(lat, lat, cfg.lstm_hidden_dim),
     )
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
     print(f"Loaded model from epoch {ckpt.get('epoch', 'unknown')}")

@@ -63,11 +63,18 @@ def train(args: Any) -> Dict[str, Any]:
     )
     test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
 
+    from vad_tpu.ops.convlstm_pallas import preferred_backend
+
+    lat = args.image_size // 16
+    backend = preferred_backend(lat, lat, args.lstm_hidden_dim)
+    if backend == "pallas":
+        print("ConvLSTM backend: fused Pallas kernel")
     model = VideoAutoencoder(
         in_channels=3,
         latent_dim=args.latent_dim,
         lstm_hidden_dim=args.lstm_hidden_dim,
         lstm_layers=args.lstm_layers,
+        backend=backend,
         remat=bool(getattr(args, "remat", False)),
     )
     variables = model.init(
