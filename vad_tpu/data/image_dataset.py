@@ -31,17 +31,21 @@ MVTEC_CATEGORIES = (
 )
 
 
+def load_image_u8(path: str, image_size: int) -> np.ndarray:
+    """Decode + resize to uint8 HWC RGB."""
+    img = Image.open(path).convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def load_image(path: str, image_size: int) -> np.ndarray:
     """Decode + resize + normalize to float32 [-1, 1], HWC RGB.
 
     The [-1, 1] normalization contract (mean 0.5, std 0.5 after /255) is
     global to the framework — decoders end in tanh to match (SURVEY §2.2).
     """
-    img = Image.open(path).convert("RGB")
-    if img.size != (image_size, image_size):
-        img = img.resize((image_size, image_size), Image.BILINEAR)
-    arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr * 2.0 - 1.0
+    return load_image_u8(path, image_size).astype(np.float32) / 127.5 - 1.0
 
 
 def load_mask(path: str, image_size: int) -> np.ndarray:
@@ -74,11 +78,14 @@ class MVTecDataset:
         category: str,
         split: str = "train",
         image_size: int = 256,
+        normalize: bool = True,
     ) -> None:
         self.root_dir = Path(root_dir)
         self.category = category
         self.split = split
         self.image_size = image_size
+        # normalize=False returns raw uint8 (trainers normalize on device)
+        self.normalize = normalize
 
         category_path = self.root_dir / category
         if not category_path.exists():
@@ -132,7 +139,10 @@ class MVTecDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         rec = self.records[idx]
-        image = load_image(rec.path, self.image_size)
+        if self.normalize:
+            image = load_image(rec.path, self.image_size)
+        else:
+            image = load_image_u8(rec.path, self.image_size)
         if rec.mask_path is not None:
             mask = load_mask(rec.mask_path, self.image_size)
         else:

@@ -33,7 +33,7 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from vad_tpu.data.image_dataset import IMAGE_EXTS, load_image
+from vad_tpu.data.image_dataset import IMAGE_EXTS
 
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
 
@@ -45,6 +45,16 @@ def _normalize_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
             frame_rgb, (image_size, image_size), interpolation=cv2.INTER_LINEAR
         )
     return frame_rgb.astype(np.float32) / 127.5 - 1.0
+
+
+def _load_u8(path: str, image_size: int) -> np.ndarray:
+    """Decode + resize an image file to uint8 RGB [H, W, 3]."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
 
 
 @dataclass
@@ -94,14 +104,79 @@ class _CaptureCache:
 
 
 class _WindowDataset:
-    """Shared base: window list + lazy decode + dict samples."""
+    """Shared base: window list + lazy decode + dict samples.
 
-    def __init__(self, sequence_length: int, stride: int, image_size: int) -> None:
+    With ``cache_frames`` (default on, bounded by VAD_FRAME_CACHE_BYTES,
+    4 GiB default), every source frame is decoded exactly once into a
+    shared uint8 array at construction and windows become memory slices.
+    Overlapping windows (stride < sequence_length) otherwise re-decode
+    each frame sequence_length/stride times per epoch — on a single-core
+    host that dominates the training step (the reference pays this same
+    cost through its per-item PIL/cv2 decode, video_dataset.py:136-152).
+    """
+
+    def __init__(
+        self,
+        sequence_length: int,
+        stride: int,
+        image_size: int,
+        cache_frames: bool = True,
+        normalize: bool = True,
+    ) -> None:
         self.sequence_length = sequence_length
         self.stride = stride
         self.image_size = image_size
+        self.cache_frames = cache_frames
+        # normalize=False returns raw uint8 frames: the trainers use this
+        # and normalize on device (quarter-size host->device transfers)
+        self.normalize = normalize
         self.windows: List[Window] = []
         self._caps = _CaptureCache()
+        self._cache: Dict[Union[str, Tuple[str, ...]], np.ndarray] = {}
+
+    def _cache_limit_bytes(self) -> int:
+        import os
+
+        return int(os.environ.get("VAD_FRAME_CACHE_BYTES", 4 * 1024**3))
+
+    def _build_frame_cache(self) -> None:
+        """Decode every distinct source once into uint8 [N, H, W, 3]."""
+        if not self.cache_frames or not self.windows:
+            return
+        sources = {w.source for w in self.windows}
+        total_frames = 0
+        for src in sources:
+            if isinstance(src, str):
+                total_frames += max(w.start for w in self.windows if w.source == src) + self.sequence_length
+            else:
+                total_frames += len(src)
+        if total_frames * self.image_size * self.image_size * 3 > self._cache_limit_bytes():
+            self.cache_frames = False
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def decode_source(src):
+            if isinstance(src, str):
+                n = max(w.start for w in self.windows if w.source == src) + self.sequence_length
+                raw = self._caps.read_window(src, 0, n)
+                arr = np.stack(
+                    [
+                        f
+                        if f.shape[:2] == (self.image_size, self.image_size)
+                        else cv2.resize(f, (self.image_size, self.image_size),
+                                        interpolation=cv2.INTER_LINEAR)
+                        for f in raw
+                    ]
+                )
+            else:
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    arrs = list(pool.map(lambda p: _load_u8(p, self.image_size), src))
+                arr = np.stack(arrs)
+            return src, arr
+
+        for src in sources:
+            key, arr = decode_source(src)
+            self._cache[key] = arr
 
     def __len__(self) -> int:
         return len(self.windows)
@@ -110,14 +185,30 @@ class _WindowDataset:
     def labels(self) -> np.ndarray:
         return np.array([w.label for w in self.windows], dtype=np.int64)
 
-    def _decode(self, w: Window) -> np.ndarray:
+    def _decode_u8(self, w: Window) -> np.ndarray:
+        """uint8 [T, H, W, 3] window frames (cache hit = memory slice)."""
+        cached = self._cache.get(w.source)
+        if cached is not None:
+            return cached[w.start : w.start + self.sequence_length]
         if isinstance(w.source, str):
             raw = self._caps.read_window(w.source, w.start, self.sequence_length)
-            frames = [_normalize_frame(f, self.image_size) for f in raw]
-        else:
-            paths = w.source[w.start : w.start + self.sequence_length]
-            frames = [load_image(p, self.image_size) for p in paths]
-        return np.stack(frames)  # [T, H, W, 3]
+            return np.stack(
+                [
+                    f
+                    if f.shape[:2] == (self.image_size, self.image_size)
+                    else cv2.resize(f, (self.image_size, self.image_size),
+                                    interpolation=cv2.INTER_LINEAR)
+                    for f in raw
+                ]
+            )
+        paths = w.source[w.start : w.start + self.sequence_length]
+        return np.stack([_load_u8(p, self.image_size) for p in paths])
+
+    def _decode(self, w: Window) -> np.ndarray:
+        u8 = self._decode_u8(w)
+        if not self.normalize:
+            return u8  # [T, H, W, 3] uint8; consumer normalizes on device
+        return u8.astype(np.float32) / 127.5 - 1.0  # [T, H, W, 3] in [-1, 1]
 
     def __getitem__(self, idx: int) -> Dict:
         w = self.windows[idx]
@@ -173,8 +264,10 @@ class IPADDataset(_WindowDataset):
         sequence_length: int = 16,
         stride: int = 4,
         image_size: int = 256,
+        cache_frames: bool = True,
+        normalize: bool = True,
     ) -> None:
-        super().__init__(sequence_length, stride, image_size)
+        super().__init__(sequence_length, stride, image_size, cache_frames, normalize)
         root = Path(root_dir) / category
         if split == "train":
             frames_dir = root / "training" / "frames"
@@ -207,6 +300,7 @@ class IPADDataset(_WindowDataset):
                         frame_labels = np.load(c)
                         break
             self._add_windows(paths, len(paths), 0, "normal", vid, frame_labels)
+        self._build_frame_cache()
 
 
 class VideoDataset(_WindowDataset):
@@ -223,8 +317,10 @@ class VideoDataset(_WindowDataset):
         sequence_length: int = 16,
         stride: int = 4,
         image_size: int = 256,
+        cache_frames: bool = True,
+        normalize: bool = True,
     ) -> None:
-        super().__init__(sequence_length, stride, image_size)
+        super().__init__(sequence_length, stride, image_size, cache_frames, normalize)
         split_dir = Path(root_dir) / category / split
         if not split_dir.exists():
             raise FileNotFoundError(f"Dataset not found at {split_dir}")
@@ -245,6 +341,7 @@ class VideoDataset(_WindowDataset):
                         if f.suffix.lower() in IMAGE_EXTS
                     )
                     self._add_windows(paths, len(paths), label, name, entry.name, None)
+        self._build_frame_cache()
 
     @staticmethod
     def _probe_video(path: str) -> int:
@@ -272,7 +369,7 @@ class VideoFileDataset(_WindowDataset):
         image_size: int = 256,
         return_original: bool = True,
     ) -> None:
-        super().__init__(sequence_length, stride, image_size)
+        super().__init__(sequence_length, stride, image_size, cache_frames=False)
         self.video_path = str(video_path)
         self.return_original = return_original
         if cv2 is None:  # pragma: no cover

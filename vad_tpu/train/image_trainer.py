@@ -96,8 +96,12 @@ def train(args: Any) -> Dict[str, Any]:
     pad_bs = padded_batch_size(args.batch_size, mesh)
 
     print(f"\nLoading dataset: {args.category}")
-    train_ds = MVTecDataset(args.data_dir, args.category, "train", args.image_size)
-    test_ds = MVTecDataset(args.data_dir, args.category, "test", args.image_size)
+    train_ds = MVTecDataset(
+        args.data_dir, args.category, "train", args.image_size, normalize=False
+    )
+    test_ds = MVTecDataset(
+        args.data_dir, args.category, "test", args.image_size, normalize=False
+    )
     print(f"Training samples: {len(train_ds)} (all normal)")
     print(f"Test samples: {len(test_ds)}")
 
@@ -124,9 +128,12 @@ def train(args: Any) -> Dict[str, Any]:
     else:
         print(f"Using Combined loss (MSE + SSIM, alpha={ssim_weight})")
 
-    train_step = make_train_step(per_sample_loss, mesh)
+    from vad_tpu.train.steps import u8_normalize
+
+    train_step = make_train_step(per_sample_loss, mesh, preprocess=u8_normalize)
     eval_step = make_eval_step(
-        per_sample_loss, ConvAutoencoder.reconstruction_error, mesh
+        per_sample_loss, ConvAutoencoder.reconstruction_error, mesh,
+        preprocess=u8_normalize,
     )
     scheduler = ReduceLROnPlateau(mode="min", factor=0.5, patience=5)
 

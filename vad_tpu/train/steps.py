@@ -21,15 +21,25 @@ import jax.numpy as jnp
 from vad_tpu.parallel.sharding import batch_sharding, replicate_sharding
 
 
-def make_train_step(per_sample_loss_fn: Callable, mesh=None):
+def u8_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side uint8 -> float32 [-1, 1] (framework normalization
+    contract).  Trainers feed raw uint8 batches — a quarter of the
+    host->device bytes of pre-normalized f32 — and pay this on the VPU."""
+    return x.astype(jnp.float32) / 127.5 - 1.0
+
+
+def make_train_step(per_sample_loss_fn: Callable, mesh=None, preprocess=None):
     """Compiled (state, images, n_real) -> (state, loss) step.
 
     The loss is a masked mean over the first ``n_real`` samples, so padded
     tail batches (static jit shapes) contribute exactly nothing to
-    gradients or the reported loss.
+    gradients or the reported loss.  ``preprocess`` (e.g. u8_normalize)
+    runs inside the compiled step.
     """
 
     def step(state, images, n_real):
+        if preprocess is not None:
+            images = preprocess(images)
         mask = jnp.arange(images.shape[0]) < n_real
         denom = jnp.maximum(n_real, 1).astype(jnp.float32)
 
@@ -63,7 +73,7 @@ def make_train_step(per_sample_loss_fn: Callable, mesh=None):
     return jax.jit(step, donate_argnums=(0,), **kwargs)
 
 
-def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None):
+def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None, preprocess=None):
     """Compiled (state, images) -> (per-sample loss [B], score [B]) step.
 
     score_method: model method computing reconstruction error (bound via
@@ -73,6 +83,8 @@ def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None):
     """
 
     def step(state, images):
+        if preprocess is not None:
+            images = preprocess(images)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         recon = state.apply_fn(variables, images, train=False)
         losses = per_sample_loss_fn(recon, images)

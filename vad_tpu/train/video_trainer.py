@@ -52,6 +52,7 @@ def train(args: Any) -> Dict[str, Any]:
         sequence_length=args.sequence_length,
         stride=args.stride,
         image_size=args.image_size,
+        normalize=False,  # uint8 to device; normalization inside the step
     )
     train_ds = DatasetClass(args.data_dir, args.category, "train", **common)
     test_ds = DatasetClass(args.data_dir, args.category, "test", **common)
@@ -85,10 +86,13 @@ def train(args: Any) -> Dict[str, Any]:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     print(f"Model parameters: {n_params:,}")
 
+    from vad_tpu.train.steps import u8_normalize
+
     state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
-    train_step = make_train_step(mse_per_sample, mesh)
+    train_step = make_train_step(mse_per_sample, mesh, preprocess=u8_normalize)
     eval_step = make_eval_step(
-        mse_per_sample, VideoAutoencoder.reconstruction_error, mesh
+        mse_per_sample, VideoAutoencoder.reconstruction_error, mesh,
+        preprocess=u8_normalize,
     )
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
 
