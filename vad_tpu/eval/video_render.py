@@ -34,7 +34,6 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from vad_tpu.data.video_dataset import _normalize_frame
 from vad_tpu.eval.video_eval import create_heatmap, denormalize_u8
 from vad_tpu.models.video_autoencoder import ConvLSTM, VideoAutoencoder
 
