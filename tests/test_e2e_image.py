@@ -122,3 +122,39 @@ def test_synthetic_auroc_threshold(tmp_path):
         ["--checkpoint", str(out["results_dir"] / "best_model.ckpt")]
     )
     assert evaluate(eargs) >= 0.7
+
+
+def test_multiple_defect_types_breakdown(tmp_path):
+    """Per-defect breakdown covers every defect folder (C18 semantics)."""
+    import shutil
+    from vad_tpu.data.synthetic import create_synthetic_image_data
+    from vad_tpu.data.image_dataset import MVTecDataset
+    from vad_tpu.eval.metrics import per_defect_breakdown
+    import numpy as np
+
+    data_dir = tmp_path / "data"
+    create_synthetic_image_data(
+        str(data_dir), "widget", n_train=4, n_test_good=3, n_test_defect=4, image_size=64
+    )
+    # split the defect folder into two defect types (scratch/crack)
+    src = data_dir / "widget" / "test" / "defect"
+    dst = data_dir / "widget" / "test" / "crack"
+    dst.mkdir()
+    gt_src = data_dir / "widget" / "ground_truth" / "defect"
+    gt_dst = data_dir / "widget" / "ground_truth" / "crack"
+    gt_dst.mkdir()
+    for name in ("002.png", "003.png"):
+        shutil.move(str(src / name), dst / name)
+        shutil.move(str(gt_src / name.replace(".png", "_mask.png")),
+                    gt_dst / name.replace(".png", "_mask.png"))
+
+    ds = MVTecDataset(str(data_dir), "widget", "test", image_size=64)
+    assert sorted(set(ds.defect_types)) == ["crack", "defect", "good"]
+    # masks still pair up for the renamed defect type
+    crack = [i for i, d in enumerate(ds.defect_types) if d == "crack"]
+    assert all(ds[i]["mask"].max() > 0 for i in crack)
+    rng = np.random.default_rng(0)
+    breakdown = per_defect_breakdown(ds.labels, rng.random(len(ds)), ds.defect_types)
+    assert breakdown["crack"]["count"] == 2
+    assert breakdown["defect"]["count"] == 2
+    assert breakdown["good"]["is_anomaly"] == 0

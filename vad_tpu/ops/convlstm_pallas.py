@@ -52,9 +52,10 @@ def preferred_backend(height: int, width: int, channels: int) -> str:
     """'pallas' on TPU when the latent-map shape fits the fused kernel,
     else 'xla' (also the answer on CPU/GPU, where Mosaic can't compile).
 
-    On v5e the fused kernel trains the default video model 1.5x faster
-    per step than the XLA scan (887 vs 1372 ms at B=4, T=16, 256^2) with
-    identical loss trajectories.
+    On v5e the fused kernel trains the default video model ~5% faster per
+    full step than the XLA scan (217 vs 229 ms at B=4, T=16, 256^2 with
+    on-device uint8 normalization), ~1.2x faster on the recurrence alone,
+    and compiles several times faster — with identical loss trajectories.
     """
     import jax
 
@@ -95,15 +96,19 @@ def _forward_kernel(
         )
         c_state[...] = c0_ref[0].astype(jnp.float32)
 
-    acc = gates_x_ref[0, 0].astype(jnp.float32)
-    for tap in range(9):
-        dy, dx = tap // 3, tap % 3
-        shifted = h_pad[dy : dy + height, dx : dx + width, :].reshape(hw, channels)
-        acc += jnp.dot(
-            shifted,
-            w_h_ref[tap * channels : (tap + 1) * channels, :],
-            preferred_element_type=jnp.float32,
-        )
+    # all 9 taps concatenated along lanes -> ONE [H*W, 9C] x [9C, 4C]
+    # MXU matmul (measured ~6% over 9 narrow matmuls)
+    h_cat = jnp.concatenate(
+        [
+            h_pad[dy : dy + height, dx : dx + width, :].reshape(hw, channels)
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-1,
+    )
+    acc = gates_x_ref[0, 0].astype(jnp.float32) + jnp.dot(
+        h_cat, w_h_ref[...], preferred_element_type=jnp.float32
+    )
 
     i = jax.nn.sigmoid(acc[:, :channels])
     f = jax.nn.sigmoid(acc[:, channels : 2 * channels])
@@ -260,15 +265,17 @@ def _backward_kernel(
 
     # recompute the gate pre-activations: gates_x[t] + conv(h_prev, Wh)
     h_pad[1 : height + 1, 1 : width + 1, :] = h_prev.reshape(height, width, channels)
-    acc = gates_x_ref[0, 0].astype(jnp.float32)
-    for tap in range(9):
-        dy, dx = tap // 3, tap % 3
-        shifted = h_pad[dy : dy + height, dx : dx + width, :].reshape(hw, channels)
-        acc += jnp.dot(
-            shifted,
-            w_h_ref[tap * channels : (tap + 1) * channels, :],
-            preferred_element_type=jnp.float32,
-        )
+    h_cat = jnp.concatenate(
+        [
+            h_pad[dy : dy + height, dx : dx + width, :].reshape(hw, channels)
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-1,
+    )  # [H*W, 9C]
+    acc = gates_x_ref[0, 0].astype(jnp.float32) + jnp.dot(
+        h_cat, w_h_ref[...], preferred_element_type=jnp.float32
+    )
 
     i = jax.nn.sigmoid(acc[:, :channels])
     f = jax.nn.sigmoid(acc[:, channels : 2 * channels])
@@ -287,33 +294,30 @@ def _backward_kernel(
 
     dgates_x_ref[0, 0] = dgates.astype(dgates_x_ref.dtype)
 
-    # dWh: per tap, h_prev_shifted^T @ dgates (contract over the H*W dim)
-    for tap in range(9):
-        dy, dx = tap // 3, tap % 3
-        shifted = h_pad[dy : dy + height, dx : dx + width, :].reshape(hw, channels)
-        dw_ref[tap * channels : (tap + 1) * channels, :] += jax.lax.dot_general(
-            shifted,
-            dgates,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dw_ref.dtype)
+    # dWh: all taps at once — h_cat^T @ dgates contracts the H*W dim into
+    # the full [9C, 4C] update in a single MXU contraction
+    dw_ref[...] += jax.lax.dot_general(
+        h_cat,
+        dgates,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw_ref.dtype)
 
-    # dh_{t-1}: full correlation of dgates with Wh (taps reversed)
+    # dh_{t-1}: full correlation of dgates with Wh (taps reversed), again
+    # as one [H*W, 9*4C] x [9*4C, C] matmul
     g_pad[1 : height + 1, 1 : width + 1, :] = dgates.reshape(
         height, width, 4 * channels
     )
-    dh_prev = jnp.zeros((hw, channels), jnp.float32)
     four_c = 4 * channels
-    for tap in range(9):
-        dy, dx = tap // 3, tap % 3
-        shifted = g_pad[2 - dy : 2 - dy + height, 2 - dx : 2 - dx + width, :].reshape(
-            hw, four_c
-        )
-        dh_prev += jnp.dot(
-            shifted,
-            w_hT_ref[tap * four_c : (tap + 1) * four_c, :],
-            preferred_element_type=jnp.float32,
-        )
+    g_cat = jnp.concatenate(
+        [
+            g_pad[2 - dy : 2 - dy + height, 2 - dx : 2 - dx + width, :].reshape(hw, four_c)
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-1,
+    )
+    dh_prev = jnp.dot(g_cat, w_hT_ref[...], preferred_element_type=jnp.float32)
 
     dh_carry[...] = dh_prev
     dc_carry[...] = dc_total * f
