@@ -175,6 +175,54 @@ def test_video_import_forward_equivalence():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=2e-4)
 
 
+def test_export_roundtrip(tmp_path):
+    """torch -> ours -> torch: state_dicts numerically identical."""
+    from vad_tpu.utils.torch_import import export_image_state_dict
+
+    oracle = TorchImageOracle(latent=64).eval()
+    _randomize_bn_stats(oracle, np.random.default_rng(5))
+    sd = oracle.state_dict()
+    params, stats = import_image_state_dict(sd)
+    exported = export_image_state_dict(params, stats)
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_allclose(
+            exported[key], val.numpy(), rtol=1e-6, atol=1e-7, err_msg=key
+        )
+
+
+def test_export_cli(tmp_path):
+    """our .ckpt -> .pth via the CLI, loadable back by the importer."""
+    import jax
+
+    from vad_tpu.utils.checkpoint import save_checkpoint
+    from vad_tpu.utils.torch_import import main
+
+    model = ConvAutoencoder(latent_dim=64)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    ours = tmp_path / "m.ckpt"
+    save_checkpoint(
+        ours,
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+            "epoch": 3,
+            "args": {"latent_dim": 64},
+            "model_type": "image",
+        },
+    )
+    pth = tmp_path / "m.pth"
+    main(["--checkpoint", str(ours), "--out", str(pth), "--export"])
+    payload = import_torch_checkpoint(pth)
+    assert payload["model_type"] == "image"
+    assert payload["epoch"] == 3
+    # weights survive the double conversion
+    orig = np.asarray(variables["params"]["encoder"]["EncoderBlock_0"]["Conv_0"]["kernel"])
+    back = np.asarray(payload["params"]["encoder"]["EncoderBlock_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(back, orig, rtol=1e-6)
+
+
 def test_full_checkpoint_roundtrip(tmp_path):
     """torch dict -> import CLI payload -> evaluate-compatible .ckpt."""
     oracle = TorchImageOracle(latent=64)

@@ -170,9 +170,18 @@ def train(args: Any) -> Dict[str, Any]:
     best_loss = min(history["val_loss"], default=float("inf"))
     payload = None
 
+    profile_dir = getattr(args, "profile_dir", None)
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
-        state, train_loss = run_epoch_train(train_step, state, train_loader, pad_bs)
+        if profile_dir and epoch == start_epoch + 1:
+            # trace the first post-compile epoch (view in Perfetto/XProf)
+            from vad_tpu.utils.profiling import trace
+
+            with trace(profile_dir):
+                state, train_loss = run_epoch_train(train_step, state, train_loader, pad_bs)
+            print(f"  (profiler trace written to {profile_dir})")
+        else:
+            state, train_loss = run_epoch_train(train_step, state, train_loader, pad_bs)
         val_loss, normal_err, anomaly_err, _, _ = run_epoch_validate(
             eval_step, state, test_loader, pad_bs
         )

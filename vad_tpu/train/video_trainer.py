@@ -135,16 +135,27 @@ def train(args: Any) -> Dict[str, Any]:
         "separation": [],
     }
 
-    epoch = start_epoch - 1  # stable if the loop body never runs (resume at end)
-    for epoch in range(start_epoch, args.epochs + 1):
-        t0 = time.time()
+    def run_train_epoch(state):
         total, n_batches = 0.0, 0
         for batch in iter(train_loader):
             padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, pad_bs)
             state, loss = train_step(state, padded["frames"], jnp.asarray(n_real))
             total += float(loss)
             n_batches += 1
-        train_loss = total / max(n_batches, 1)
+        return state, total / max(n_batches, 1)
+
+    profile_dir = getattr(args, "profile_dir", None)
+    epoch = start_epoch - 1  # stable if the loop body never runs (resume at end)
+    for epoch in range(start_epoch, args.epochs + 1):
+        t0 = time.time()
+        if profile_dir and epoch == start_epoch + 1:
+            from vad_tpu.utils.profiling import trace
+
+            with trace(profile_dir):
+                state, train_loss = run_train_epoch(state)
+            print(f"  (profiler trace written to {profile_dir})")
+        else:
+            state, train_loss = run_train_epoch(state)
 
         loss_sum, n_eval = 0.0, 0
         normal_err, anomaly_err = [], []

@@ -176,11 +176,109 @@ def import_torch_checkpoint(checkpoint: str | Path | Mapping) -> Dict[str, Any]:
     }
 
 
+# ------------------------------------------------------------- export
+
+
+def _conv_kernel_to_torch(k) -> np.ndarray:
+    return np.transpose(np.asarray(k), (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _convT_kernel_to_torch(k) -> np.ndarray:
+    # invert _convT_kernel: unflip spatial, HWIO -> IOHW
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(k)[::-1, ::-1], (2, 3, 0, 1))
+    )
+
+
+def _export_bn(params: Mapping, stats: Mapping, prefix: str, out: dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(params["scale"])
+    out[f"{prefix}.bias"] = np.asarray(params["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(stats["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(stats["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def export_image_state_dict(params: Mapping, stats: Mapping) -> dict:
+    """(params, batch_stats) -> reference-named torch state_dict arrays."""
+    out: dict = {}
+    for i in range(4):
+        blk_p = params["encoder"][f"EncoderBlock_{i}"]
+        blk_s = stats["encoder"][f"EncoderBlock_{i}"]
+        for j, (ci, bi) in enumerate(((0, 1), (3, 4))):
+            out[f"encoder.enc{i + 1}.{ci}.weight"] = _conv_kernel_to_torch(
+                blk_p[f"Conv_{j}"]["kernel"]
+            )
+            out[f"encoder.enc{i + 1}.{ci}.bias"] = np.asarray(blk_p[f"Conv_{j}"]["bias"])
+            _export_bn(blk_p[f"BatchNorm_{j}"], blk_s[f"BatchNorm_{j}"],
+                       f"encoder.enc{i + 1}.{bi}", out)
+    for i in range(3):
+        blk_p = params["decoder"][f"DecoderBlock_{i}"]
+        blk_s = stats["decoder"][f"DecoderBlock_{i}"]
+        out[f"decoder.dec{i + 1}.0.weight"] = _convT_kernel_to_torch(
+            blk_p["ConvTranspose_0"]["kernel"]
+        )
+        out[f"decoder.dec{i + 1}.0.bias"] = np.asarray(blk_p["ConvTranspose_0"]["bias"])
+        _export_bn(blk_p["BatchNorm_0"], blk_s["BatchNorm_0"], f"decoder.dec{i + 1}.1", out)
+        out[f"decoder.dec{i + 1}.3.weight"] = _conv_kernel_to_torch(blk_p["Conv_0"]["kernel"])
+        out[f"decoder.dec{i + 1}.3.bias"] = np.asarray(blk_p["Conv_0"]["bias"])
+        _export_bn(blk_p["BatchNorm_1"], blk_s["BatchNorm_1"], f"decoder.dec{i + 1}.4", out)
+    out["decoder.dec4.0.weight"] = _convT_kernel_to_torch(
+        params["decoder"]["ConvTranspose_0"]["kernel"]
+    )
+    out["decoder.dec4.0.bias"] = np.asarray(params["decoder"]["ConvTranspose_0"]["bias"])
+    _export_bn(params["decoder"]["BatchNorm_0"], stats["decoder"]["BatchNorm_0"],
+               "decoder.dec4.1", out)
+    out["decoder.dec4.3.weight"] = _conv_kernel_to_torch(params["decoder"]["Conv_0"]["kernel"])
+    out["decoder.dec4.3.bias"] = np.asarray(params["decoder"]["Conv_0"]["bias"])
+    return out
+
+
+def export_torch_checkpoint(checkpoint_path: str | Path, out_path: str | Path) -> None:
+    """Our .ckpt -> a torch .pth loadable by the reference (image model).
+
+    Video export is not implemented (the reference consumes checkpoints
+    for inference/eval, and the video model's forward matches ours — add
+    on demand).
+    """
+    import torch
+
+    from vad_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(checkpoint_path)
+    if ckpt.get("model_type", "image") != "image":
+        raise NotImplementedError("only image checkpoints can be exported")
+    sd = {
+        k: torch.tensor(v)
+        for k, v in export_image_state_dict(ckpt["params"], ckpt["batch_stats"]).items()
+    }
+    torch.save(
+        {
+            "epoch": ckpt.get("epoch"),
+            "model_state_dict": sd,
+            "train_loss": ckpt.get("train_loss"),
+            "val_loss": ckpt.get("val_loss"),
+            "args": ckpt.get("args", {}),
+        },
+        str(out_path),
+    )
+
+
 def main(argv=None) -> None:
-    parser = argparse.ArgumentParser(description="Import a reference .pth checkpoint")
-    parser.add_argument("--checkpoint", required=True, help="path to torch .pth")
-    parser.add_argument("--out", required=True, help="output .ckpt path")
+    parser = argparse.ArgumentParser(
+        description="Convert checkpoints between this framework and the torch reference"
+    )
+    parser.add_argument("--checkpoint", required=True, help="input checkpoint (.pth or .ckpt)")
+    parser.add_argument("--out", required=True, help="output path (.ckpt or .pth)")
+    parser.add_argument(
+        "--export", action="store_true",
+        help="convert our .ckpt to a torch .pth (default: import .pth -> .ckpt)",
+    )
     args = parser.parse_args(argv)
+
+    if args.export:
+        export_torch_checkpoint(args.checkpoint, args.out)
+        print(f"Exported image checkpoint -> {args.out}")
+        return
 
     from vad_tpu.utils.checkpoint import save_checkpoint
 
