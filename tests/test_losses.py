@@ -90,6 +90,21 @@ def test_make_loss_fn_names(image_pair):
         make_loss_fn("nope")
 
 
+def test_ssim_under_jit_multiple_traces(rng):
+    """Regression: the cached Gaussian window must not leak tracers when
+    the loss is traced more than once (different shapes -> new traces)."""
+    import jax
+
+    f = jax.jit(ssim_loss)
+    a = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    b = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    first = float(f(a, b))
+    c = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    second = float(jax.jit(ssim_loss)(c, c))  # new trace, same cache entry
+    assert np.isfinite(first)
+    assert second < 1e-5
+
+
 def test_video_batch_flattening(rng):
     v1 = rng.normal(size=(1, 3, 16, 16, 3)).astype(np.float32)
     v2 = rng.normal(size=(1, 3, 16, 16, 3)).astype(np.float32)

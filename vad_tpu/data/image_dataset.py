@@ -79,6 +79,7 @@ class MVTecDataset:
         split: str = "train",
         image_size: int = 256,
         normalize: bool = True,
+        cache_images: bool = True,
     ) -> None:
         self.root_dir = Path(root_dir)
         self.category = category
@@ -86,6 +87,10 @@ class MVTecDataset:
         self.image_size = image_size
         # normalize=False returns raw uint8 (trainers normalize on device)
         self.normalize = normalize
+        # decode-once uint8 cache (epochs re-read MVTec's large PNGs
+        # otherwise); bounded by VAD_FRAME_CACHE_BYTES (4 GiB default)
+        self.cache_images = cache_images
+        self._cache: Optional[np.ndarray] = None
 
         category_path = self.root_dir / category
         if not category_path.exists():
@@ -126,6 +131,16 @@ class MVTecDataset:
         if not records:
             raise FileNotFoundError(f"No images found under {split_dir}")
 
+        limit = int(os.environ.get("VAD_FRAME_CACHE_BYTES", 4 * 1024**3))
+        if self.cache_images and len(records) * image_size * image_size * 3 <= limit:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                arrays = list(
+                    pool.map(lambda r: load_image_u8(r.path, image_size), records)
+                )
+            self._cache = np.stack(arrays)
+
     def __len__(self) -> int:
         return len(self.records)
 
@@ -139,10 +154,12 @@ class MVTecDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         rec = self.records[idx]
-        if self.normalize:
-            image = load_image(rec.path, self.image_size)
+        if self._cache is not None:
+            image = self._cache[idx]
         else:
             image = load_image_u8(rec.path, self.image_size)
+        if self.normalize:
+            image = image.astype(np.float32) / 127.5 - 1.0
         if rec.mask_path is not None:
             mask = load_mask(rec.mask_path, self.image_size)
         else:

@@ -19,12 +19,19 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
-    """Normalized 2D Gaussian [size, size] (outer product of 1D)."""
-    coords = jnp.arange(size, dtype=jnp.float32) - size // 2
-    g = jnp.exp(-(coords**2) / (2.0 * sigma**2))
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)
+def _gaussian_window(size: int, sigma: float):
+    """Normalized 2D Gaussian [size, size] (outer product of 1D).
+
+    Returns host numpy: caching a traced jnp value would leak tracers
+    across jit scopes (it did — a jitted combined-loss train step used a
+    stale tracer from its first trace).
+    """
+    import numpy as np
+
+    coords = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(coords**2) / (2.0 * sigma**2))
+    g = g / np.sum(g)
+    return np.outer(g, g)
 
 
 def _flatten_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +61,7 @@ def ssim(
     target = _flatten_to_nhwc(target)
     channels = pred.shape[-1]
     # Depthwise kernel [k, k, 1, C] with feature_group_count=C.
-    win = _gaussian_window(window_size, sigma).astype(pred.dtype)
+    win = jnp.asarray(_gaussian_window(window_size, sigma), pred.dtype)
     kernel = jnp.tile(win[:, :, None, None], (1, 1, 1, channels))
 
     conv = functools.partial(
