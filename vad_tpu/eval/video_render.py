@@ -43,9 +43,9 @@ def iter_video_chunks(
     chunk: int,
     image_size: int,
     prefetch: int = 2,
-) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
-    """Yield (normalized [chunk,H,W,3], raw-resized uint8 [chunk,H,W,3],
-    n_valid) with a background decode thread.
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Yield (raw-resized uint8 [chunk,H,W,3], n_valid) with a background
+    decode thread; normalization happens on device.
 
     The final short chunk is padded by repeating its last frame so device
     shapes stay static; n_valid marks the real frames.
@@ -69,9 +69,7 @@ def iter_video_chunks(
                     n_valid = len(raw_buf)
                     while len(raw_buf) < chunk:
                         raw_buf.append(raw_buf[-1])
-                    raw = np.stack(raw_buf)
-                    norm = raw.astype(np.float32) / 127.5 - 1.0
-                    q.put((norm, raw, n_valid))
+                    q.put((np.stack(raw_buf), n_valid))
                     raw_buf = []
                 if not ok:
                     break
@@ -107,13 +105,14 @@ def stream_scores(
     lat = image_size // 16
 
     @jax.jit
-    def step(v, x, states):
+    def step(v, u8, states):
+        x = u8.astype(jnp.float32) / 127.5 - 1.0  # normalize on device
         return model.apply(v, x, states, method=VideoAutoencoder.stream_step)
 
     states = ConvLSTM.zero_state(model.lstm_layers, 1, lat, lat, model.lstm_hidden_dim)
     scores: list[float] = []
-    for norm, raw, n_valid in iter_video_chunks(video_path, chunk, image_size):
-        recon, err, frame_scores, states = step(variables, jnp.asarray(norm[None]), states)
+    for raw, n_valid in iter_video_chunks(video_path, chunk, image_size):
+        recon, err, frame_scores, states = step(variables, jnp.asarray(raw[None]), states)
         fs = np.asarray(frame_scores)[0, :n_valid]
         scores.extend(fs.tolist())
         if on_frame is not None:
