@@ -132,3 +132,38 @@ def test_streaming_equals_full_sequence(trained_video_run):
         chunks.append(np.asarray(fs))
     streamed = np.concatenate(chunks, axis=1)
     np.testing.assert_allclose(streamed, np.asarray(full), rtol=2e-4, atol=1e-6)
+
+
+def test_evaluate_single_class_test_split(tmp_path):
+    """All-normal test split: AUROC gracefully skipped, artifacts written."""
+    from vad_tpu.data.synthetic import create_synthetic_video_data
+    import shutil
+    import train_video as tv_cli
+    import evaluate_video as ev_cli
+    from vad_tpu.train.video_trainer import train
+    from vad_tpu.eval.video_eval import evaluate
+
+    data_dir = tmp_path / "data"
+    create_synthetic_video_data(
+        str(data_dir), "S02", n_train_videos=1, n_test_videos=2,
+        frames_per_video=16, image_size=64,
+    )
+    # strip the anomaly labels -> every test window normal
+    for f in (data_dir / "S02" / "test_label").glob("*.npy"):
+        f.unlink()
+
+    args = tv_cli.build_parser().parse_args(
+        ["--category", "S02", "--data-dir", str(data_dir), "--image-size", "64",
+         "--sequence-length", "8", "--stride", "8", "--latent-dim", "32",
+         "--lstm-hidden-dim", "32", "--epochs", "1", "--batch-size", "2",
+         "--results-dir", str(tmp_path / "results")]
+    )
+    out = train(args)
+    eargs = ev_cli.build_parser().parse_args(
+        ["--checkpoint", str(out["results_dir"] / "best_model.ckpt"),
+         "--data-dir", str(data_dir), "--batch-size", "2"]
+    )
+    score = evaluate(eargs)
+    assert score == 0.0  # single class: AUROC not computable, no crash
+    text = (out["results_dir"] / "evaluation" / "results.txt").read_text()
+    assert "Anomaly: 0" in text

@@ -93,6 +93,10 @@ def train(args: Any) -> Dict[str, Any]:
     """Train the image model; args mirrors the reference CLI namespace."""
     _describe_devices()
     mesh = get_mesh()
+    if getattr(args, "debug_nans", False):
+        from vad_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
     pad_bs = padded_batch_size(args.batch_size, mesh)
 
     print(f"\nLoading dataset: {args.category}")

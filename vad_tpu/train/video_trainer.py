@@ -42,6 +42,10 @@ def train(args: Any) -> Dict[str, Any]:
     devs = jax.devices()
     print(f"Using {devs[0].platform.upper()}: {len(devs)} device(s) — {devs[0].device_kind}")
     mesh = get_mesh()
+    if getattr(args, "debug_nans", False):
+        from vad_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
     pad_bs = padded_batch_size(args.batch_size, mesh)
 
     print(f"\nLoading video dataset: {args.category}")
