@@ -167,3 +167,26 @@ def test_evaluate_single_class_test_split(tmp_path):
     assert score == 0.0  # single class: AUROC not computable, no crash
     text = (out["results_dir"] / "evaluation" / "results.txt").read_text()
     assert "Anomaly: 0" in text
+
+
+def test_resume_preserves_best_selection(trained_video_run):
+    """Post-resume epochs must not clobber a better saved best checkpoint."""
+    import train_video as tv_cli
+    from vad_tpu.train.video_trainer import train
+    from vad_tpu.utils.checkpoint import load_checkpoint
+
+    pre = load_checkpoint(trained_video_run["results_dir"] / "final_model.ckpt")
+    pre_best = pre["best_separation"]
+    args = tv_cli.build_parser().parse_args(
+        ["--category", "S01", "--data-dir", str(trained_video_run["data_dir"]),
+         "--image-size", "64", "--sequence-length", "8", "--stride", "8",
+         "--latent-dim", "32", "--lstm-hidden-dim", "32", "--lstm-layers", "2",
+         "--epochs", "3", "--batch-size", "2", "--num-workers", "2",
+         "--results-dir", "unused",
+         "--resume", str(trained_video_run["results_dir"] / "final_model.ckpt")]
+    )
+    out = train(args)
+    # history continues (2 pre-resume epochs + 1 more) and the carried
+    # best can only improve
+    assert len(out["history"]["train_loss"]) == 3
+    assert out["best_separation"] >= pre_best

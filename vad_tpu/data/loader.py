@@ -90,22 +90,27 @@ class Loader:
                 yield collate([self.dataset[int(i)] for i in chunk])
             return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            # Pipeline: submit decode jobs one batch ahead of consumption.
+            # Pipeline: keep decode FUTURES for up to `ahead` batches in
+            # flight; only collect results when a batch is consumed, so
+            # batch N+1 decodes while the caller processes batch N.
             pending = []
             ahead = 2
             it = iter(chunks)
+
+            def submit(chunk):
+                return [pool.submit(self.dataset.__getitem__, int(i)) for i in chunk]
+
             try:
                 for _ in range(ahead):
-                    chunk = next(it)
-                    pending.append(list(pool.map(lambda i: self.dataset[int(i)], chunk)))
+                    pending.append(submit(next(it)))
             except StopIteration:
                 pass
             for chunk in it:
-                ready = pending.pop(0)
-                pending.append(list(pool.map(lambda i: self.dataset[int(i)], chunk)))
-                yield collate(ready)
-            for ready in pending:
-                yield collate(ready)
+                futures = pending.pop(0)
+                pending.append(submit(chunk))
+                yield collate([f.result() for f in futures])
+            for futures in pending:
+                yield collate([f.result() for f in futures])
 
 
 def device_prefetch(iterable: Iterable[Dict], size: int = 2) -> Iterator[Dict]:

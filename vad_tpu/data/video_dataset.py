@@ -96,9 +96,18 @@ class _CaptureCache:
             pos += 1
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         store[path] = (cap, pos)
+        if not frames and length > 0:
+            # container header overstated the decodable frame count
+            # (common with VBR / corrupt-tail files) and this window lies
+            # entirely past the end — fail loudly rather than np.stack([])
+            raise RuntimeError(
+                f"could not decode any frame of window [{start}, {start + length}) "
+                f"from {path}; the container's frame count appears to "
+                f"overstate the decodable stream"
+            )
         # Short reads (corrupt tail) are padded with the last frame so
         # batch shapes stay static for jit.
-        while frames and len(frames) < length:
+        while len(frames) < length:
             frames.append(frames[-1])
         return frames
 

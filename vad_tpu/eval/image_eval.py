@@ -165,7 +165,12 @@ def evaluate(args: Any) -> float:
 
     print("\nComputing metrics...")
     labels, scores, defects = compute_scores(model, variables, test_ds)
-    score = auroc(labels, scores)
+    if len(np.unique(labels)) > 1:
+        score = auroc(labels, scores)
+    else:
+        # single-class test split (e.g. only good/ images present)
+        score = 0.0
+        print("Cannot compute AUROC - only one class present")
     breakdown = per_defect_breakdown(labels, scores, defects)
     pixel_score = compute_pixel_auroc(model, variables, test_ds)
 
@@ -184,7 +189,8 @@ def evaluate(args: Any) -> float:
         )
 
     print("\nGenerating visualizations...")
-    plot_roc_curve(labels, scores, output_dir / "roc_curve.png")
+    if len(np.unique(labels)) > 1:
+        plot_roc_curve(labels, scores, output_dir / "roc_curve.png")
     plot_score_distribution(labels, scores, output_dir / "score_distribution.png")
     rows = make_reconstruction_rows(model, variables, test_ds)
     plot_reconstruction_grid(rows, output_dir / "reconstructions.png")

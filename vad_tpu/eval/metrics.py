@@ -31,8 +31,6 @@ def auroc(labels: np.ndarray, scores: np.ndarray) -> float:
     neg = scores[labels == 0]
     if len(pos) == 0 or len(neg) == 0:
         raise ValueError("AUROC needs both classes present")
-    ranks = np.argsort(np.argsort(np.concatenate([pos, neg]))) + 1.0
-    # midrank correction
     allv = np.concatenate([pos, neg])
     order = np.argsort(allv)
     sorted_v = allv[order]

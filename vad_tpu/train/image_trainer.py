@@ -109,8 +109,11 @@ def train(args: Any) -> Dict[str, Any]:
     print(f"Training samples: {len(train_ds)} (all normal)")
     print(f"Test samples: {len(test_ds)}")
 
+    # drop the tail batch when possible: padded duplicates are masked out
+    # of the loss but would still skew train-mode BatchNorm statistics
     train_loader = Loader(
-        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0
+        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0,
+        drop_remainder=len(train_ds) >= args.batch_size,
     )
     test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
 

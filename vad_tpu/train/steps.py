@@ -12,7 +12,6 @@ mask padded tail batches exactly (vad_tpu.parallel.pad_batch_for_devices).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -32,9 +31,12 @@ def make_train_step(per_sample_loss_fn: Callable, mesh=None, preprocess=None):
     """Compiled (state, images, n_real) -> (state, loss) step.
 
     The loss is a masked mean over the first ``n_real`` samples, so padded
-    tail batches (static jit shapes) contribute exactly nothing to
-    gradients or the reported loss.  ``preprocess`` (e.g. u8_normalize)
-    runs inside the compiled step.
+    tail entries (static jit shapes) contribute nothing to the loss or its
+    gradients.  Caveat: padded duplicates DO enter train-mode BatchNorm
+    batch statistics — trainers therefore drop tail batches whenever the
+    dataset allows and only pad when unavoidable (dataset smaller than a
+    batch, or a mesh data axis that doesn't divide the batch).
+    ``preprocess`` (e.g. u8_normalize) runs inside the compiled step.
     """
 
     def step(state, images, n_real):
@@ -98,21 +100,3 @@ def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None, prepro
     return jax.jit(step, **kwargs)
 
 
-def make_score_step(apply_fn, score_method, mesh=None, **score_kwargs):
-    """Compiled scoring-only step: (variables, images) -> scores."""
-
-    def step(variables, images):
-        return apply_fn(variables, images, method=score_method, **score_kwargs)
-
-    kwargs = {}
-    if mesh is not None:
-        kwargs["in_shardings"] = (replicate_sharding(mesh), batch_sharding(mesh))
-    return jax.jit(step, **kwargs)
-
-
-@functools.partial(jax.jit, static_argnums=(2,))
-def masked_mean(values: jnp.ndarray, n_real: jnp.ndarray, batch_size: int) -> jnp.ndarray:
-    """Mean of the first n_real entries of a padded [batch_size] vector."""
-    idx = jnp.arange(batch_size)
-    mask = idx < n_real
-    return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(n_real, 1)

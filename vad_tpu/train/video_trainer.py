@@ -63,8 +63,11 @@ def train(args: Any) -> Dict[str, Any]:
     print(f"Training sequences: {len(train_ds)} (all normal)")
     print(f"Test sequences: {len(test_ds)}")
 
+    # drop the tail batch when possible: padded duplicates are masked out
+    # of the loss but would still skew train-mode BatchNorm statistics
     train_loader = Loader(
-        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0
+        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0,
+        drop_remainder=len(train_ds) >= args.batch_size,
     )
     test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
 
@@ -101,6 +104,9 @@ def train(args: Any) -> Dict[str, Any]:
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
 
     start_epoch = 1
+    resumed_history = None
+    resumed_best = 0.0
+    resumed_best_epoch = 0
     resume_path = getattr(args, "resume", None)
     if resume_path:
         from vad_tpu.utils.checkpoint import load_checkpoint
@@ -115,7 +121,21 @@ def train(args: Any) -> Dict[str, Any]:
         )
         start_epoch = int(ckpt.get("epoch", 0)) + 1
         results_dir = Path(resume_path).parent
-        print(f"Resumed from {resume_path} at epoch {start_epoch}")
+        # carry the selection state forward so a worse post-resume epoch
+        # cannot clobber the saved best checkpoint
+        resumed_history = ckpt.get("history")
+        if resumed_history and resumed_history.get("separation"):
+            resumed_best = max(resumed_history["separation"])
+            resumed_best_epoch = (
+                resumed_history["separation"].index(resumed_best) + 1
+            )
+        else:
+            resumed_best = float(ckpt.get("best_separation", ckpt.get("separation", 0.0)) or 0.0)
+            resumed_best_epoch = int(ckpt.get("best_epoch", ckpt.get("epoch", 0)) or 0)
+        print(
+            f"Resumed from {resume_path} at epoch {start_epoch} "
+            f"(best separation so far: {resumed_best:.2f}x)"
+        )
     else:
         timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         results_dir = Path(args.results_dir) / f"video_{args.category}_{timestamp}"
@@ -130,22 +150,27 @@ def train(args: Any) -> Dict[str, Any]:
     print("\n*** SAVING BASED ON SEPARATION RATIO (not loss) ***")
     print("-" * 60)
 
-    best_separation = 0.0
-    best_epoch = 0
+    best_separation = resumed_best
+    best_epoch = resumed_best_epoch
     no_improve = 0
     patience = 5
-    history: Dict[str, list] = {
+    history: Dict[str, list] = resumed_history or {
         "train_loss": [], "val_loss": [], "normal_err": [], "anomaly_err": [],
         "separation": [],
     }
 
     def run_train_epoch(state):
         total, n_batches = 0.0, 0
+        pending = None  # delayed loss read keeps host decode and device compute overlapped
         for batch in iter(train_loader):
             padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, pad_bs)
             state, loss = train_step(state, padded["frames"], jnp.asarray(n_real))
-            total += float(loss)
+            if pending is not None:
+                total += float(pending)
+            pending = loss
             n_batches += 1
+        if pending is not None:
+            total += float(pending)
         return state, total / max(n_batches, 1)
 
     profile_dir = getattr(args, "profile_dir", None)

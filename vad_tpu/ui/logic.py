@@ -196,7 +196,6 @@ def analyze_image(state: AppState, image_array: np.ndarray, image_size: int = 25
     import jax.numpy as jnp
     from PIL import Image
 
-    from vad_tpu.models.autoencoder import ConvAutoencoder
 
     if state.model is None:
         return None, None, "Please load a model first."
@@ -206,19 +205,15 @@ def analyze_image(state: AppState, image_array: np.ndarray, image_size: int = 25
     img = Image.fromarray(np.asarray(image_array)).convert("RGB")
     size = int(state.model_args.get("image_size", image_size))
     img = img.resize((size, size), Image.BILINEAR)
-    x = jnp.asarray(np.asarray(img, np.float32)[None] / 127.5 - 1.0)
+    x_np = np.asarray(img, np.float32)[None] / 127.5 - 1.0
 
-    model = state.model
-    recon = model.apply(state.variables, x, train=False)
-    err_map = model.apply(
-        state.variables, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
-    )
-    score = float(
-        model.apply(state.variables, x, method=ConvAutoencoder.reconstruction_error)[0]
-    )
+    # one model forward; error map and scalar score derive from it on host
+    recon = np.asarray(state.model.apply(state.variables, jnp.asarray(x_np), train=False))
+    err_map = np.mean(np.square(x_np[0] - recon[0]), axis=-1)
+    score = float(err_map.mean())
 
-    recon_u8 = (np.clip(np.asarray(recon[0]) * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
-    heat = _heatmap_image(np.asarray(err_map[0]))
+    recon_u8 = (np.clip(recon[0] * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+    heat = _heatmap_image(err_map)
     return recon_u8, heat, image_report(score)
 
 
