@@ -16,6 +16,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Dataset category (default: from checkpoint)")
     parser.add_argument("--data-dir", type=str, default=None,
                         help="Path to dataset (default: from checkpoint)")
+    parser.add_argument("--score-mode", type=str, default="mean",
+                        choices=["mean", "max", "p99"],
+                        help="Image score = this reduction of the per-pixel "
+                             "error map (mean = reference behavior; max/p99 "
+                             "are sensitive to small low-contrast defects)")
     return parser
 
 

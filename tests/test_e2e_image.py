@@ -158,3 +158,27 @@ def test_multiple_defect_types_breakdown(tmp_path):
     assert breakdown["crack"]["count"] == 2
     assert breakdown["defect"]["count"] == 2
     assert breakdown["good"]["is_anomaly"] == 0
+
+
+def test_score_modes(trained_run):
+    """p99/max scoring modes run end-to-end and order plausibly vs mean."""
+    import evaluate as eval_cli
+    from vad_tpu.eval.image_eval import compute_scores, load_image_model
+
+    model, variables, _ = load_image_model(
+        trained_run["results_dir"] / "best_model.ckpt"
+    )
+    from vad_tpu.data.image_dataset import MVTecDataset
+
+    ds = MVTecDataset(str(trained_run["data_dir"]), "synthetic", "test", 64)
+    for mode in ("mean", "max", "p99"):
+        labels, scores, _ = compute_scores(
+            model, variables, ds, batch_size=8, score_mode=mode
+        )
+        assert scores.shape == (len(ds),)
+        assert np.all(np.isfinite(scores))
+    # CLI parses the flag
+    args = eval_cli.build_parser().parse_args(
+        ["--checkpoint", "x", "--score-mode", "p99"]
+    )
+    assert args.score_mode == "p99"

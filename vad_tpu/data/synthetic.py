@@ -129,6 +129,94 @@ def create_synthetic_image_data(
     return base
 
 
+def _value_noise(rng: np.random.Generator, size: int, octaves=(4, 8, 16, 32)) -> np.ndarray:
+    """Multi-octave value noise in [0, 1] (pure numpy + cv2 upsampling)."""
+    img = np.zeros((size, size), np.float32)
+    amp_total = 0.0
+    for i, o in enumerate(octaves):
+        amp = 1.0 / (i + 1)
+        grid = rng.random((o, o)).astype(np.float32)
+        img += amp * cv2.resize(grid, (size, size), interpolation=cv2.INTER_CUBIC)
+        amp_total += amp
+    img /= amp_total
+    return np.clip(img, 0.0, 1.0)
+
+
+def _textured_surface(seed: int, size: int) -> np.ndarray:
+    """Brushed-surface texture: directional stripes + value noise, uint8 RGB.
+
+    The stripe pattern is category-constant; per-image noise varies with
+    the seed, like photographs of the same industrial material.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    stripes = 0.5 + 0.08 * np.sin(xx * 0.35 + 3.0 * np.sin(yy * 0.01))
+    noise = _value_noise(rng, size)
+    lum = np.clip(0.65 * stripes + 0.35 * noise, 0, 1)
+    base = (lum * 155 + 60).astype(np.uint8)
+    return np.stack([base, base, (base * 0.96).astype(np.uint8)], axis=-1)
+
+
+def _textured_defect(seed: int, size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Subtle low-contrast defect on the textured surface + GT mask."""
+    img = _textured_surface(seed, size).astype(np.int16)
+    rng = np.random.default_rng(seed + 5000)
+    kind = rng.integers(0, 3)
+    mask = np.zeros((size, size), bool)
+    if kind == 0:  # smudge: local blur destroys the stripe texture
+        cx, cy = rng.integers(size // 4, 3 * size // 4, size=2)
+        r = int(rng.integers(size // 16, size // 8))
+        mask = _disk_mask(size, cx, cy, r)
+        blurred = cv2.GaussianBlur(img.astype(np.uint8), (0, 0), sigmaX=size / 40)
+        img[mask] = blurred[mask]
+    elif kind == 1:  # shallow scratch across the grain
+        x1, y1 = rng.integers(size // 5, 4 * size // 5, size=2)
+        x2 = int(np.clip(x1 + rng.integers(-size // 3, size // 3), 0, size - 1))
+        y2 = int(np.clip(y1 + rng.integers(-size // 3, size // 3), 0, size - 1))
+        mask = _line_mask(size, (x1, y1), (x2, y2), max(size // 86, 2))
+        img[mask] -= int(rng.integers(18, 30))
+    else:  # faint stain: small local brightness shift
+        cx, cy = rng.integers(size // 4, 3 * size // 4, size=2)
+        r = int(rng.integers(size // 12, size // 7))
+        mask = _disk_mask(size, cx, cy, r)
+        img[mask] += int(rng.integers(14, 24)) * (1 if rng.random() > 0.5 else -1)
+    return np.clip(img, 0, 255).astype(np.uint8), mask.astype(np.uint8) * 255
+
+
+def create_synthetic_textured_data(
+    data_dir: str = "./data",
+    category: str = "textured",
+    n_train: int = 60,
+    n_test_good: int = 15,
+    n_test_defect: int = 25,
+    image_size: int = 256,
+) -> Path:
+    """Harder MVTec-like fixture: structured texture, low-contrast defects.
+
+    Same layout as create_synthetic_image_data; the circle fixture is
+    nearly separable, this one requires the model to learn the texture
+    statistics (smudges/scratches/stains shift pixels by <12%%).
+    """
+    base = Path(data_dir) / category
+    paths = {
+        "train": base / "train" / "good",
+        "good": base / "test" / "good",
+        "defect": base / "test" / "defect",
+        "gt": base / "ground_truth" / "defect",
+    }
+    for p in paths.values():
+        p.mkdir(parents=True, exist_ok=True)
+    for i in range(n_train):
+        Image.fromarray(_textured_surface(i, image_size)).save(paths["train"] / f"{i:03d}.png")
+    for i in range(n_test_good):
+        Image.fromarray(_textured_surface(i + 300, image_size)).save(paths["good"] / f"{i:03d}.png")
+    for i in range(n_test_defect):
+        img, mask = _textured_defect(i + 600, image_size)
+        Image.fromarray(img).save(paths["defect"] / f"{i:03d}.png")
+        Image.fromarray(mask).save(paths["gt"] / f"{i:03d}_mask.png")
+    return base
+
+
 def _video_frame(
     t: int, size: int, phase: float, speed: float, anomaly: bool, rng: np.random.Generator
 ) -> np.ndarray:
@@ -246,7 +334,7 @@ def main(argv=None) -> None:
         "--method",
         type=str,
         default="synthetic",
-        choices=["synthetic", "synthetic-video", "kagglehub", "manual"],
+        choices=["synthetic", "synthetic-textured", "synthetic-video", "kagglehub", "manual"],
     )
     parser.add_argument("--kaggle-path", type=str, default=None)
     parser.add_argument("--data-dir", type=str, default="./data")
@@ -256,6 +344,10 @@ def main(argv=None) -> None:
     if args.method == "synthetic":
         path = create_synthetic_image_data(args.data_dir, args.category)
         print(f"Synthetic image dataset created at: {path.absolute()}")
+    elif args.method == "synthetic-textured":
+        category = "textured" if args.category == "synthetic" else args.category
+        path = create_synthetic_textured_data(args.data_dir, category)
+        print(f"Synthetic textured dataset created at: {path.absolute()}")
     elif args.method == "synthetic-video":
         path = create_synthetic_video_data(args.data_dir, args.category)
         print(f"Synthetic video dataset created at: {path.absolute()}")

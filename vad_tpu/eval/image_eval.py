@@ -45,13 +45,33 @@ def load_image_model(checkpoint_path: str | Path) -> Tuple[ConvAutoencoder, Dict
     return model, variables, train_args
 
 
-def compute_scores(model, variables, test_ds, batch_size: int = 16, num_workers: int = 4):
-    """(labels, scores, defect_types) over the test split."""
+SCORE_MODES = ("mean", "max", "p99")
+
+
+def compute_scores(
+    model, variables, test_ds, batch_size: int = 16, num_workers: int = 4,
+    score_mode: str = "mean",
+):
+    """(labels, scores, defect_types) over the test split.
+
+    score_mode reduces the per-pixel error map to the image score:
+    'mean' is the reference's definition (autoencoder.py:211-221);
+    'max' / 'p99' (beyond-reference) are far more sensitive to small
+    low-contrast defects, which a global mean dilutes.
+    """
     loader = Loader(test_ds, batch_size, num_workers=num_workers)
 
     @jax.jit
     def score_step(v, x):
-        return model.apply(v, x, method=ConvAutoencoder.reconstruction_error)
+        err = model.apply(
+            v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
+        )
+        flat = err.reshape(err.shape[0], -1)
+        if score_mode == "max":
+            return jnp.max(flat, axis=1)
+        if score_mode == "p99":
+            return jnp.percentile(flat, 99.0, axis=1)
+        return jnp.mean(flat, axis=1)
 
     labels, scores, defects = [], [], []
     for batch in loader:
@@ -163,8 +183,13 @@ def evaluate(args: Any) -> float:
     output_dir = checkpoint_path.parent / "evaluation"
     output_dir.mkdir(exist_ok=True)
 
+    score_mode = getattr(args, "score_mode", "mean") or "mean"
+    if score_mode != "mean":
+        print(f"Score mode: {score_mode} of the per-pixel error map")
     print("\nComputing metrics...")
-    labels, scores, defects = compute_scores(model, variables, test_ds)
+    labels, scores, defects = compute_scores(
+        model, variables, test_ds, score_mode=score_mode
+    )
     if len(np.unique(labels)) > 1:
         score = auroc(labels, scores)
     else:
