@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch-size", type=int, default=4,
                         help="Batch size (smaller for video due to memory)")
     parser.add_argument("--lr", type=float, default=1e-4, help="Learning rate")
+    parser.add_argument("--loss", type=str, default="mse",
+                        choices=["mse", "ssim", "combined"],
+                        help="Training loss (reference uses mse; ssim/combined "
+                             "help on low-contrast structural anomalies)")
+    parser.add_argument("--ssim-weight", type=float, default=0.5,
+                        help="SSIM weight for the combined loss")
     parser.add_argument("--num-workers", type=int, default=2, help="Decode threads")
     parser.add_argument("--results-dir", type=str, default="./results",
                         help="Directory to save results")

@@ -26,7 +26,6 @@ import numpy as np
 from vad_tpu.data.loader import Loader
 from vad_tpu.data.video_dataset import detect_video_dataset_class
 from vad_tpu.models.video_autoencoder import VideoAutoencoder
-from vad_tpu.ops.losses import mse_per_sample
 from vad_tpu.parallel.sharding import get_mesh, pad_batch_for_devices, padded_batch_size
 from vad_tpu.train.state import (
     ReduceLROnPlateau,
@@ -93,12 +92,20 @@ def train(args: Any) -> Dict[str, Any]:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     print(f"Model parameters: {n_params:,}")
 
+    from vad_tpu.ops.losses import make_per_sample_loss_fn
     from vad_tpu.train.steps import u8_normalize
 
+    # the reference trains video with MSE only (train_video.py:174);
+    # ssim/combined are available as a beyond-parity option
+    loss_name = getattr(args, "loss", "mse") or "mse"
+    per_sample_loss = make_per_sample_loss_fn(loss_name, getattr(args, "ssim_weight", 0.5))
+    if loss_name != "mse":
+        print(f"Using {loss_name} loss")
+
     state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
-    train_step = make_train_step(mse_per_sample, mesh, preprocess=u8_normalize)
+    train_step = make_train_step(per_sample_loss, mesh, preprocess=u8_normalize)
     eval_step = make_eval_step(
-        mse_per_sample, VideoAutoencoder.reconstruction_error, mesh,
+        per_sample_loss, VideoAutoencoder.reconstruction_error, mesh,
         preprocess=u8_normalize,
     )
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
