@@ -21,6 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Image score = this reduction of the per-pixel "
                              "error map (mean = reference behavior; max/p99 "
                              "are sensitive to small low-contrast defects)")
+    parser.add_argument("--score-smooth", type=float, default=0.0,
+                        help="Gaussian sigma (pixels) to blur the error map "
+                             "before scoring (0 = off)")
     return parser
 
 

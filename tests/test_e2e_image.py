@@ -182,3 +182,22 @@ def test_score_modes(trained_run):
         ["--checkpoint", "x", "--score-mode", "p99"]
     )
     assert args.score_mode == "p99"
+
+
+def test_score_smoothing(trained_run):
+    """Gaussian smoothing preserves the map's mass and shape."""
+    import jax.numpy as jnp
+    from vad_tpu.eval.image_eval import smooth_error_map
+
+    rng = np.random.default_rng(0)
+    err = jnp.asarray(rng.random((2, 64, 64)).astype(np.float32))
+    sm = smooth_error_map(err, sigma=3.0)
+    assert sm.shape == err.shape
+    # interior mass approximately preserved (SAME padding loses boundary)
+    np.testing.assert_allclose(
+        float(jnp.mean(sm[:, 16:-16, 16:-16])),
+        float(jnp.mean(err[:, 16:-16, 16:-16])),
+        rtol=0.02,
+    )
+    # blurring reduces variance
+    assert float(jnp.var(sm)) < float(jnp.var(err))

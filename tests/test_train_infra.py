@@ -155,3 +155,12 @@ class TestRemat:
         g_remat = jax.grad(loss_for(remat))(variables["params"])
         for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_remat)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_compilation_cache_configured():
+    import jax
+
+    from vad_tpu.core.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir  # set unless opted out

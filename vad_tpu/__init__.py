@@ -20,6 +20,10 @@ double-buffered host->device input pipeline.
 
 __version__ = "0.1.0"
 
+from vad_tpu.core.runtime import setup_compilation_cache
+
+setup_compilation_cache()
+
 from vad_tpu.core.config import ImageAEConfig, VideoAEConfig  # noqa: F401
 from vad_tpu.models.autoencoder import ConvAutoencoder, Encoder, Decoder  # noqa: F401
 from vad_tpu.models.video_autoencoder import (  # noqa: F401

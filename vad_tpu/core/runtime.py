@@ -1,0 +1,37 @@
+"""Runtime setup: persistent XLA compilation cache.
+
+First-time jit compiles of the full models take minutes on TPU; every CLI
+invocation (train, evaluate, bench, UI callbacks via subprocess) would pay
+them again.  A persistent on-disk cache drops repeat compiles to seconds
+(measured 9.0s -> 1.8s across processes for the image scorer).
+
+Enabled on package import.  Controls:
+    VAD_COMPILE_CACHE=0      disable entirely
+    VAD_COMPILE_CACHE=<dir>  cache location (default ~/.cache/vad_tpu/xla)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DONE = False
+
+
+def setup_compilation_cache() -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    setting = os.environ.get("VAD_COMPILE_CACHE", "")
+    if setting == "0":
+        return
+    cache_dir = setting or str(Path.home() / ".cache" / "vad_tpu" / "xla")
+    try:
+        import jax
+
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

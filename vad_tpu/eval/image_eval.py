@@ -48,16 +48,37 @@ def load_image_model(checkpoint_path: str | Path) -> Tuple[ConvAutoencoder, Dict
 SCORE_MODES = ("mean", "max", "p99")
 
 
+def smooth_error_map(err: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian-blur error maps [B, H, W] on device (depthwise conv).
+
+    Standard anomaly-localization post-processing: averages out per-pixel
+    reconstruction noise so max/percentile scores respond to defect-sized
+    blobs rather than isolated hot pixels.
+    """
+    from vad_tpu.ops.losses import _gaussian_window
+
+    size = max(3, int(2 * round(2 * sigma) + 1))
+    win = jnp.asarray(_gaussian_window(size, sigma), err.dtype)
+    return jax.lax.conv_general_dilated(
+        err[..., None],
+        win[:, :, None, None],
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[..., 0]
+
+
 def compute_scores(
     model, variables, test_ds, batch_size: int = 16, num_workers: int = 4,
-    score_mode: str = "mean",
+    score_mode: str = "mean", score_smooth: float = 0.0,
 ):
     """(labels, scores, defect_types) over the test split.
 
     score_mode reduces the per-pixel error map to the image score:
     'mean' is the reference's definition (autoencoder.py:211-221);
     'max' / 'p99' (beyond-reference) are far more sensitive to small
-    low-contrast defects, which a global mean dilutes.
+    low-contrast defects, which a global mean dilutes.  score_smooth > 0
+    Gaussian-blurs the map (sigma in pixels) before the reduction.
     """
     loader = Loader(test_ds, batch_size, num_workers=num_workers)
 
@@ -66,6 +87,8 @@ def compute_scores(
         err = model.apply(
             v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
         )
+        if score_smooth > 0:
+            err = smooth_error_map(err, score_smooth)
         flat = err.reshape(err.shape[0], -1)
         if score_mode == "max":
             return jnp.max(flat, axis=1)
@@ -184,11 +207,15 @@ def evaluate(args: Any) -> float:
     output_dir.mkdir(exist_ok=True)
 
     score_mode = getattr(args, "score_mode", "mean") or "mean"
-    if score_mode != "mean":
-        print(f"Score mode: {score_mode} of the per-pixel error map")
+    score_smooth = float(getattr(args, "score_smooth", 0.0) or 0.0)
+    if score_mode != "mean" or score_smooth > 0:
+        print(
+            f"Score mode: {score_mode} of the per-pixel error map"
+            + (f" (gaussian sigma={score_smooth})" if score_smooth > 0 else "")
+        )
     print("\nComputing metrics...")
     labels, scores, defects = compute_scores(
-        model, variables, test_ds, score_mode=score_mode
+        model, variables, test_ds, score_mode=score_mode, score_smooth=score_smooth
     )
     if len(np.unique(labels)) > 1:
         score = auroc(labels, scores)
