@@ -188,3 +188,30 @@ class TestTexturedSynthetic:
             img[m].astype(np.int16) - clean[m].astype(np.int16)
         ).mean()
         assert 3 <= mean_shift <= 60  # perturbed but low-contrast
+
+
+def test_textured_video_fixture(tmp_path):
+    """Temporal-anomaly fixture: frozen patch only differs ACROSS frames."""
+    from vad_tpu.data.synthetic import create_synthetic_textured_video_data
+
+    base = create_synthetic_textured_video_data(
+        str(tmp_path), "tv", n_train_videos=1, n_test_videos=2,
+        frames_per_video=20, image_size=64,
+    )
+    ds = IPADDataset(str(tmp_path), "tv", "test", sequence_length=8, stride=4, image_size=64)
+    labels = ds.labels
+    assert labels.max() == 1 and labels.min() == 0
+    # anomalous frames are individually plausible textures: the frozen
+    # patch makes consecutive anomalous frames locally IDENTICAL
+    from PIL import Image
+    import numpy as np
+
+    la = np.load(base / "test_label" / "00.npy")
+    anom = np.flatnonzero(la)
+    f1 = np.asarray(Image.open(base / "testing" / "frames" / "00" / f"{anom[2]:04d}.png"))
+    f2 = np.asarray(Image.open(base / "testing" / "frames" / "00" / f"{anom[3]:04d}.png"))
+    frozen_pixels = (f1 == f2).all(axis=-1).mean()
+    n1 = np.asarray(Image.open(base / "testing" / "frames" / "00" / "0000.png"))
+    n2 = np.asarray(Image.open(base / "testing" / "frames" / "00" / "0001.png"))
+    moving_pixels = (n1 == n2).all(axis=-1).mean()
+    assert frozen_pixels > moving_pixels + 0.02  # a patch truly froze

@@ -298,6 +298,68 @@ def create_synthetic_video_data(
     return base
 
 
+def create_synthetic_textured_video_data(
+    data_dir: str = "./data",
+    category: str = "textured_video",
+    n_train_videos: int = 4,
+    n_test_videos: int = 4,
+    frames_per_video: int = 96,
+    image_size: int = 256,
+) -> Path:
+    """IPAD-format video fixture with a PURELY TEMPORAL anomaly.
+
+    Every frame shows a scrolling textured surface (constant per-video
+    velocity).  In anomalous ranges a circular patch of the texture
+    FREEZES — each individual frame remains a perfectly plausible texture,
+    so per-frame appearance models cannot detect it; only temporal
+    modeling (the ConvLSTM) can.
+    """
+    base = Path(data_dir) / category
+    train_frames = base / "training" / "frames"
+    test_frames = base / "testing" / "frames"
+    label_dir = base / "test_label"
+    for p in (train_frames, test_frames, label_dir):
+        p.mkdir(parents=True, exist_ok=True)
+
+    def make_canvas(seed: int) -> np.ndarray:
+        # tile one image_size-periodic texture 2x2 so the scrolling window
+        # wraps seamlessly in time (no content jump at the wrap boundary)
+        return np.tile(_textured_surface(seed, image_size), (2, 2, 1))
+
+    def write_video(vdir: Path, seed: int, labels: Optional[np.ndarray]) -> None:
+        vdir.mkdir(exist_ok=True)
+        rng = np.random.default_rng(seed)
+        tex = make_canvas(seed)
+        vx, vy = rng.integers(1, 4, size=2) * (1 if rng.random() > 0.5 else -1)
+        frozen_patch = None
+        freeze_mask = None
+        if labels is not None and labels.any():
+            cx, cy = rng.integers(image_size // 4, 3 * image_size // 4, size=2)
+            r = int(rng.integers(image_size // 8, image_size // 5))
+            freeze_mask = _disk_mask(image_size, cx, cy, r)
+        for t in range(frames_per_video):
+            ox = (vx * t) % image_size
+            oy = (vy * t) % image_size
+            frame = tex[oy : oy + image_size, ox : ox + image_size].copy()
+            if labels is not None and labels[t]:
+                if frozen_patch is None:
+                    frozen_patch = frame.copy()  # texture stops moving here
+                frame[freeze_mask] = frozen_patch[freeze_mask]
+            else:
+                frozen_patch = None
+            Image.fromarray(frame).save(vdir / f"{t:04d}.png")
+
+    for v in range(n_train_videos):
+        write_video(train_frames / f"{v:02d}", 40_000 + v, None)
+    for v in range(n_test_videos):
+        labels = np.zeros(frames_per_video, dtype=np.int64)
+        if v % 2 == 0:  # odd-indexed test videos stay fully normal
+            labels[int(frames_per_video * 0.4) : int(frames_per_video * 0.75)] = 1
+        write_video(test_frames / f"{v:02d}", 50_000 + v, labels)
+        np.save(label_dir / f"{v:02d}.npy", labels)
+    return base
+
+
 def create_synthetic_video_file(
     path: str,
     n_frames: int = 120,
@@ -334,7 +396,8 @@ def main(argv=None) -> None:
         "--method",
         type=str,
         default="synthetic",
-        choices=["synthetic", "synthetic-textured", "synthetic-video", "kagglehub", "manual"],
+        choices=["synthetic", "synthetic-textured", "synthetic-video",
+                 "synthetic-textured-video", "kagglehub", "manual"],
     )
     parser.add_argument("--kaggle-path", type=str, default=None)
     parser.add_argument("--data-dir", type=str, default="./data")
@@ -351,6 +414,10 @@ def main(argv=None) -> None:
     elif args.method == "synthetic-video":
         path = create_synthetic_video_data(args.data_dir, args.category)
         print(f"Synthetic video dataset created at: {path.absolute()}")
+    elif args.method == "synthetic-textured-video":
+        category = "textured_video" if args.category == "synthetic" else args.category
+        path = create_synthetic_textured_video_data(args.data_dir, category)
+        print(f"Synthetic textured video dataset created at: {path.absolute()}")
     elif args.method == "kagglehub":
         print(
             "Programmatic download needs kaggle credentials + network; "
