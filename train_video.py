@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "help on low-contrast structural anomalies)")
     parser.add_argument("--ssim-weight", type=float, default=0.5,
                         help="SSIM weight for the combined loss")
+    parser.add_argument("--objective", type=str, default="reconstruct",
+                        choices=["reconstruct", "predict"],
+                        help="reconstruct = reference behavior; predict trains "
+                             "output t against frame t+1 (sensitive to purely "
+                             "temporal anomalies)")
     parser.add_argument("--num-workers", type=int, default=2, help="Decode threads")
     parser.add_argument("--results-dir", type=str, default="./results",
                         help="Directory to save results")

@@ -94,10 +94,19 @@ def evaluate(args: Any) -> float:
     print(f"Test sequences: {len(test_ds)}")
     loader = Loader(test_ds, args.batch_size, num_workers=2)
 
+    objective = saved.get("objective", "reconstruct") or "reconstruct"
+    score_method = (
+        VideoAutoencoder.prediction_error
+        if objective == "predict"
+        else VideoAutoencoder.reconstruction_error
+    )
+    if objective == "predict":
+        print("Scoring objective: future-frame prediction error")
+
     @jax.jit
     def score_step(v, x):
-        seq = model.apply(v, x, method=VideoAutoencoder.reconstruction_error)
-        frame = model.apply(v, x, per_frame=True, method=VideoAutoencoder.reconstruction_error)
+        seq = model.apply(v, x, method=score_method)
+        frame = model.apply(v, x, per_frame=True, method=score_method)
         return seq, frame
 
     all_scores, all_labels = [], []
@@ -111,7 +120,10 @@ def evaluate(args: Any) -> float:
         all_labels.extend(np.asarray(batch["label"]).tolist())
         if has_frame_labels:
             frame_scores.extend(np.asarray(frame)[:n_real].reshape(-1).tolist())
-            frame_labels.extend(np.asarray(batch["frame_labels"]).reshape(-1).tolist())
+            fl = np.asarray(batch["frame_labels"])
+            if objective == "predict":
+                fl = fl[:, 1:]  # prediction scores align to frames 1..T-1
+            frame_labels.extend(fl.reshape(-1).tolist())
 
     all_scores = np.array(all_scores)
     all_labels = np.array(all_labels)

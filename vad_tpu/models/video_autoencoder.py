@@ -327,6 +327,25 @@ class VideoAutoencoder(nn.Module):
         recon = self(x, train=False)
         return jnp.mean(jnp.square(x - recon), axis=-1)
 
+    def prediction_error(
+        self, x: jnp.ndarray, per_frame: bool = False, per_pixel: bool = False
+    ) -> jnp.ndarray:
+        """Future-frame prediction error (beyond-reference objective).
+
+        The ConvLSTM is causal, so output t is a function of frames <= t;
+        pairing it against frame t+1 scores how predictable the NEXT frame
+        is — sensitive to purely temporal anomalies (e.g. frozen motion)
+        that reconstruction barely penalizes.  Shapes: [B], [B, T-1], or
+        [B, T-1, H, W]; scores align to frames 1..T-1 of the window.
+        """
+        recon = self(x, train=False)
+        err = jnp.mean(jnp.square(x[:, 1:] - recon[:, :-1]), axis=-1)
+        if per_pixel:
+            return err
+        if per_frame:
+            return jnp.mean(err, axis=(2, 3))
+        return jnp.mean(err, axis=(1, 2, 3))
+
     def reconstruction_error(
         self, x: jnp.ndarray, per_frame: bool = False, per_pixel: bool = False
     ) -> jnp.ndarray:

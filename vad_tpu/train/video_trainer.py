@@ -96,16 +96,26 @@ def train(args: Any) -> Dict[str, Any]:
     from vad_tpu.train.steps import u8_normalize
 
     # the reference trains video with MSE only (train_video.py:174);
-    # ssim/combined are available as a beyond-parity option
+    # ssim/combined losses and the predictive objective are beyond-parity
     loss_name = getattr(args, "loss", "mse") or "mse"
     per_sample_loss = make_per_sample_loss_fn(loss_name, getattr(args, "ssim_weight", 0.5))
     if loss_name != "mse":
         print(f"Using {loss_name} loss")
 
+    objective = getattr(args, "objective", "reconstruct") or "reconstruct"
+    if objective == "predict":
+        # output t is causal in frames <= t; train it to match frame t+1
+        print("Objective: future-frame prediction")
+        base_loss = per_sample_loss
+        per_sample_loss = lambda recon, x: base_loss(recon[:, :-1], x[:, 1:])  # noqa: E731
+        score_method = VideoAutoencoder.prediction_error
+    else:
+        score_method = VideoAutoencoder.reconstruction_error
+
     state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
     train_step = make_train_step(per_sample_loss, mesh, preprocess=u8_normalize)
     eval_step = make_eval_step(
-        per_sample_loss, VideoAutoencoder.reconstruction_error, mesh,
+        per_sample_loss, score_method, mesh,
         preprocess=u8_normalize,
     )
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
