@@ -1,0 +1,126 @@
+"""Coverage for eval plumbing: numpy metric fallbacks, plot rendering,
+frame composition, precision casting, checkpoint discovery."""
+
+import numpy as np
+import pytest
+
+from vad_tpu.eval import metrics
+
+
+class TestNumpyFallbacks:
+    """The sklearn-free code paths (exercised via monkeypatching)."""
+
+    @pytest.fixture
+    def no_sklearn(self, monkeypatch):
+        monkeypatch.setattr(metrics, "_sk_auroc", None)
+        monkeypatch.setattr(metrics, "_sk_roc_curve", None)
+
+    def test_auroc_matches_sklearn(self, no_sklearn, rng):
+        labels = rng.integers(0, 2, size=200)
+        labels[:5] = 1
+        labels[5:10] = 0  # both classes guaranteed
+        scores = rng.normal(size=200) + labels * 0.8
+        ours = metrics.auroc(labels, scores)
+        from sklearn.metrics import roc_auc_score
+
+        assert np.isclose(ours, roc_auc_score(labels, scores), atol=1e-9)
+
+    def test_auroc_with_ties(self, no_sklearn):
+        labels = np.array([0, 0, 1, 1, 0, 1])
+        scores = np.array([0.1, 0.5, 0.5, 0.9, 0.5, 0.5])  # heavy ties
+        from sklearn.metrics import roc_auc_score
+
+        assert np.isclose(
+            metrics.auroc(labels, scores), roc_auc_score(labels, scores), atol=1e-9
+        )
+
+    def test_auroc_single_class_raises(self, no_sklearn):
+        with pytest.raises(ValueError, match="both classes"):
+            metrics.auroc(np.zeros(4), np.arange(4))
+
+    def test_roc_points_fallback_shape(self, no_sklearn, rng):
+        labels = np.array([0, 1] * 20)
+        scores = rng.normal(size=40)
+        fpr, tpr = metrics.roc_points(labels, scores)
+        assert fpr[0] == 0.0 and tpr[0] == 0.0
+        assert fpr[-1] == 1.0 and tpr[-1] == 1.0
+        assert np.all(np.diff(fpr) >= 0)
+
+
+def test_separation_ratio_edge_cases():
+    assert metrics.separation_ratio([], [1.0]) == 0.0
+    assert metrics.separation_ratio([1.0], []) == 0.0
+    assert metrics.separation_ratio([2.0, 2.0], [4.0, 4.0]) == 2.0
+
+
+class TestPlots:
+    def test_all_plots_render(self, tmp_path, rng):
+        from vad_tpu.eval.plots import (
+            plot_reconstruction_grid,
+            plot_roc_curve,
+            plot_score_distribution,
+            plot_training_history,
+        )
+
+        labels = np.array([0, 1] * 10)
+        scores = rng.normal(size=20) + labels
+        plot_roc_curve(labels, scores, tmp_path / "roc.png")
+        plot_score_distribution(labels, scores, tmp_path / "dist.png")
+        rows = [
+            {
+                "image": rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32),
+                "recon": rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32),
+                "error": rng.random((32, 32)).astype(np.float32),
+                "mask": np.zeros((32, 32), np.float32),
+                "defect_type": "good",
+            }
+        ]
+        plot_reconstruction_grid(rows, tmp_path / "recon.png")
+        history = {
+            "train_loss": [1.0, 0.5], "val_loss": [1.1, 0.6],
+            "normal_err": [0.1, 0.05], "anomaly_err": [0.2, 0.15],
+        }
+        plot_training_history(history, tmp_path / "hist.png")
+        for f in ("roc.png", "dist.png", "recon.png", "hist.png"):
+            assert (tmp_path / f).stat().st_size > 1000
+
+    def test_empty_grid_noop(self, tmp_path):
+        from vad_tpu.eval.plots import plot_reconstruction_grid
+
+        plot_reconstruction_grid([], tmp_path / "none.png")
+        assert not (tmp_path / "none.png").exists()
+
+
+def test_compose_annotated_frame(rng):
+    from vad_tpu.eval.video_render import compose_annotated_frame
+
+    orig = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    recon = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    err = rng.random((64, 64)).astype(np.float32)
+    frame = compose_annotated_frame(orig, recon, err, score=0.005)
+    assert frame.shape == (64 + 60, 64 * 3, 3)
+    assert frame.dtype == np.uint8
+    # the original panel is embedded unmodified
+    np.testing.assert_array_equal(frame[:64, :64], orig)
+
+
+def test_cast_floating_preserves_ints():
+    import jax.numpy as jnp
+
+    from vad_tpu.utils.precision import cast_floating
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32), "step": jnp.asarray(3, jnp.int32)}
+    out = cast_floating(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["step"].dtype == jnp.int32
+
+
+def test_latest_checkpoint(tmp_path):
+    from vad_tpu.utils.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(tmp_path) is None
+    for n in (1, 3, 12):
+        (tmp_path / f"checkpoint_epoch_{n}.ckpt").write_bytes(b"x")
+    (tmp_path / "best_model.ckpt").write_bytes(b"x")
+    found = latest_checkpoint(tmp_path)
+    assert found is not None and found.name == "checkpoint_epoch_12.ckpt"
