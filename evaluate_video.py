@@ -44,6 +44,7 @@ if __name__ == "__main__":
             args.output_video or "output_annotated.mp4",
             image_size=int(saved.get("image_size", 256)),
             sequence_length=int(saved.get("sequence_length", 16)),
+            objective=saved.get("objective", "reconstruct") or "reconstruct",
         )
     else:
         from vad_tpu.eval.video_eval import evaluate

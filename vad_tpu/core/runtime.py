@@ -26,10 +26,14 @@ def setup_compilation_cache() -> None:
     setting = os.environ.get("VAD_COMPILE_CACHE", "")
     if setting == "0":
         return
-    cache_dir = setting or str(Path.home() / ".cache" / "vad_tpu" / "xla")
     try:
         import jax
 
+        # never override a cache the user already configured (env var or
+        # a jax.config.update made before importing this package)
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR") or jax.config.jax_compilation_cache_dir:
+            return
+        cache_dir = setting or str(Path.home() / ".cache" / "vad_tpu" / "xla")
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

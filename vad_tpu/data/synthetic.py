@@ -142,16 +142,43 @@ def _value_noise(rng: np.random.Generator, size: int, octaves=(4, 8, 16, 32)) ->
     return np.clip(img, 0.0, 1.0)
 
 
-def _textured_surface(seed: int, size: int) -> np.ndarray:
+def _periodic_value_noise(rng: np.random.Generator, size: int, octaves=(4, 8, 16, 32)) -> np.ndarray:
+    """size-periodic multi-octave value noise: each octave's coarse grid is
+    tiled 2x2 before upsampling, then the central period is cropped, so
+    the interpolation kernel sees wrapped neighbors at the seam."""
+    img = np.zeros((size, size), np.float32)
+    amp_total = 0.0
+    for i, o in enumerate(octaves):
+        amp = 1.0 / (i + 1)
+        grid = np.tile(rng.random((o, o)).astype(np.float32), (2, 2))
+        big = cv2.resize(grid, (2 * size, 2 * size), interpolation=cv2.INTER_CUBIC)
+        img += amp * big[size // 2 : size // 2 + size, size // 2 : size // 2 + size]
+        amp_total += amp
+    return np.clip(img / amp_total, 0.0, 1.0)
+
+
+def _textured_surface(seed: int, size: int, periodic: bool = False) -> np.ndarray:
     """Brushed-surface texture: directional stripes + value noise, uint8 RGB.
 
     The stripe pattern is category-constant; per-image noise varies with
-    the seed, like photographs of the same industrial material.
+    the seed, like photographs of the same industrial material.  With
+    ``periodic`` the texture tiles seamlessly with period ``size`` (both
+    stripe frequencies snapped to integer cycles and wrap-padded noise) —
+    used by the scrolling-video fixture.
     """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-    stripes = 0.5 + 0.08 * np.sin(xx * 0.35 + 3.0 * np.sin(yy * 0.01))
-    noise = _value_noise(rng, size)
+    if periodic:
+        two_pi = 2.0 * np.pi
+        kx = max(1, round(0.35 * size / two_pi))  # integer cycles per period
+        ky = max(1, round(0.01 * size / two_pi))
+        stripes = 0.5 + 0.08 * np.sin(
+            xx * (kx * two_pi / size) + 3.0 * np.sin(yy * (ky * two_pi / size))
+        )
+        noise = _periodic_value_noise(rng, size)
+    else:
+        stripes = 0.5 + 0.08 * np.sin(xx * 0.35 + 3.0 * np.sin(yy * 0.01))
+        noise = _value_noise(rng, size)
     lum = np.clip(0.65 * stripes + 0.35 * noise, 0, 1)
     base = (lum * 155 + 60).astype(np.uint8)
     return np.stack([base, base, (base * 0.96).astype(np.uint8)], axis=-1)
@@ -322,9 +349,10 @@ def create_synthetic_textured_video_data(
         p.mkdir(parents=True, exist_ok=True)
 
     def make_canvas(seed: int) -> np.ndarray:
-        # tile one image_size-periodic texture 2x2 so the scrolling window
-        # wraps seamlessly in time (no content jump at the wrap boundary)
-        return np.tile(_textured_surface(seed, image_size), (2, 2, 1))
+        # tile one image_size-PERIODIC texture 2x2: the scrolling window
+        # is then seamless both spatially (no tile seam) and temporally
+        # (no content jump at the wrap boundary)
+        return np.tile(_textured_surface(seed, image_size, periodic=True), (2, 2, 1))
 
     def write_video(vdir: Path, seed: int, labels: Optional[np.ndarray]) -> None:
         vdir.mkdir(exist_ok=True)
@@ -332,6 +360,7 @@ def create_synthetic_textured_video_data(
         tex = make_canvas(seed)
         vx, vy = rng.integers(1, 4, size=2) * (1 if rng.random() > 0.5 else -1)
         frozen_patch = None
+        prev_frame = None
         freeze_mask = None
         if labels is not None and labels.any():
             cx, cy = rng.integers(image_size // 4, 3 * image_size // 4, size=2)
@@ -343,10 +372,13 @@ def create_synthetic_textured_video_data(
             frame = tex[oy : oy + image_size, ox : ox + image_size].copy()
             if labels is not None and labels[t]:
                 if frozen_patch is None:
-                    frozen_patch = frame.copy()  # texture stops moving here
+                    # freeze the PREVIOUS frame's content so the first
+                    # labeled frame already differs from normal rendering
+                    frozen_patch = (prev_frame if prev_frame is not None else frame).copy()
                 frame[freeze_mask] = frozen_patch[freeze_mask]
             else:
                 frozen_patch = None
+            prev_frame = frame
             Image.fromarray(frame).save(vdir / f"{t:04d}.png")
 
     for v in range(n_train_videos):

@@ -106,20 +106,26 @@ def compute_scores(
     return np.concatenate(labels), np.concatenate(scores), defects
 
 
-def compute_pixel_auroc(model, variables, test_ds, batch_size: int = 16) -> float:
+def compute_pixel_auroc(
+    model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0
+) -> float:
     """Pixel-level localization AUROC against the ground-truth masks.
 
     Beyond-reference capability (the reference loads GT masks but never
     scores localization): per-pixel error maps vs binarized masks over
-    the whole test split.
+    the whole test split.  ``score_smooth`` applies the same Gaussian blur
+    the image score used, so both numbers come from the same maps.
     """
     loader = Loader(test_ds, batch_size, num_workers=4)
 
     @jax.jit
     def maps_step(v, x):
-        return model.apply(
+        err = model.apply(
             v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
         )
+        if score_smooth > 0:
+            err = smooth_error_map(err, score_smooth)
+        return err
 
     scores, labels = [], []
     for batch in loader:
@@ -224,7 +230,9 @@ def evaluate(args: Any) -> float:
         score = 0.0
         print("Cannot compute AUROC - only one class present")
     breakdown = per_defect_breakdown(labels, scores, defects)
-    pixel_score = compute_pixel_auroc(model, variables, test_ds)
+    pixel_score = compute_pixel_auroc(
+        model, variables, test_ds, score_smooth=score_smooth
+    )
 
     print(f"\n{'=' * 50}")
     print(f"AUROC: {score:.4f}")

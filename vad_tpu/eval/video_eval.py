@@ -183,7 +183,9 @@ def evaluate(args: Any) -> float:
     print(f"Saved score distribution to {eval_dir / 'score_distribution.png'}")
 
     print("\nGenerating visualizations...")
-    generate_visualizations(model, variables, test_ds, eval_dir, num_samples=4)
+    generate_visualizations(
+        model, variables, test_ds, eval_dir, num_samples=4, objective=objective
+    )
 
     with open(eval_dir / "results.txt", "w") as f:
         f.write("Video Anomaly Detection Evaluation\n")
@@ -205,10 +207,15 @@ def evaluate(args: Any) -> float:
     return a
 
 
-def generate_visualizations(model, variables, dataset, output_dir: Path, num_samples: int = 4):
+def generate_visualizations(
+    model, variables, dataset, output_dir: Path, num_samples: int = 4,
+    objective: str = "reconstruct",
+):
     """Side-by-side PNGs (original | reconstruction | heatmap) for the
     middle frame of a few normal/anomalous windows (reference
-    evaluate_video.py:251-306)."""
+    evaluate_video.py:251-306).  For predict-trained checkpoints the
+    heatmap/score use prediction error (output t vs frame t+1), matching
+    the metrics."""
     labels = dataset.labels
     normal_idx = [i for i, l in enumerate(labels) if l == 0][: num_samples // 2]
     anomaly_idx = [i for i, l in enumerate(labels) if l == 1][: num_samples // 2]
@@ -216,11 +223,17 @@ def generate_visualizations(model, variables, dataset, output_dir: Path, num_sam
     if not selected:
         selected = list(range(min(num_samples, len(dataset))))
 
+    err_method = (
+        VideoAutoencoder.prediction_error
+        if objective == "predict"
+        else VideoAutoencoder.reconstruction_error
+    )
+
     @jax.jit
     def forward(v, x):
         recon = model.apply(v, x, train=False)
-        err = model.apply(v, x, per_pixel=True, method=VideoAutoencoder.reconstruction_error)
-        seq = model.apply(v, x, method=VideoAutoencoder.reconstruction_error)
+        err = model.apply(v, x, per_pixel=True, method=err_method)
+        seq = model.apply(v, x, method=err_method)
         return recon, err, seq
 
     for idx in selected:
@@ -230,16 +243,20 @@ def generate_visualizations(model, variables, dataset, output_dir: Path, num_sam
         label_name = "ANOMALY" if label == 1 else "NORMAL"
         recon, err, seq = forward(variables, frames)
 
-        t_mid = frames.shape[1] // 2
-        orig = denormalize_u8(np.asarray(frames[0, t_mid]))
-        rec = denormalize_u8(np.asarray(recon[0, t_mid]))
+        t_mid = err.shape[1] // 2  # err is [1, T-1, ...] in predict mode
+        # predict mode: panel shows frame t_mid+1, its prediction recon[t_mid]
+        t_show = t_mid + 1 if objective == "predict" else t_mid
+        t_rec = t_mid if objective == "predict" else t_mid
+        orig = denormalize_u8(np.asarray(frames[0, t_show]))
+        rec = denormalize_u8(np.asarray(recon[0, t_rec]))
         heat = create_heatmap(np.asarray(err[0, t_mid]), size=orig.shape[1::-1])
         combined = np.hstack([orig, rec, heat])
 
         w = orig.shape[1]
         combined = cv2.cvtColor(combined, cv2.COLOR_RGB2BGR)
+        middle_title = "Prediction" if objective == "predict" else "Reconstruction"
         cv2.putText(combined, "Original", (10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
-        cv2.putText(combined, "Reconstruction", (w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+        cv2.putText(combined, middle_title, (w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
         cv2.putText(combined, "Error Heatmap", (2 * w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
         cv2.putText(
             combined,

@@ -96,30 +96,55 @@ def stream_scores(
     image_size: int,
     chunk: int = 16,
     on_frame=None,
+    objective: str = "reconstruct",
 ) -> np.ndarray:
     """Score every frame of a video once, carrying ConvLSTM state.
 
     Returns per-frame scores [N].  ``on_frame(orig_u8, recon_u8, err_map,
     score)`` is invoked per real frame if given (rendering hook).
+
+    objective='predict' scores frame t against the model's causal output
+    at t-1 (its prediction of frame t), carried across chunk boundaries;
+    the very first frame has no prediction and borrows frame 1's score.
     """
     lat = image_size // 16
+    predict = objective == "predict"
 
     @jax.jit
-    def step(v, u8, states):
+    def step(v, u8, states, prev_pred):
         x = u8.astype(jnp.float32) / 127.5 - 1.0  # normalize on device
-        return model.apply(v, x, states, method=VideoAutoencoder.stream_step)
+        recon, err, fs, new_states = model.apply(
+            v, x, states, method=VideoAutoencoder.stream_step
+        )
+        if predict:
+            # prediction of frame t is the model output at t-1 (carried
+            # across chunks via prev_pred)
+            preds = jnp.concatenate([prev_pred, recon[:, :-1]], axis=1)
+            err = jnp.mean(jnp.square(x - preds), axis=-1)
+            fs = jnp.mean(err, axis=(2, 3))
+            shown = preds
+        else:
+            shown = recon
+        return shown, err, fs, new_states, recon[:, -1:]
 
     states = ConvLSTM.zero_state(model.lstm_layers, 1, lat, lat, model.lstm_hidden_dim)
+    prev_pred = jnp.zeros((1, 1, image_size, image_size, 3), jnp.float32)
     scores: list[float] = []
+    first_chunk = True
     for raw, n_valid in iter_video_chunks(video_path, chunk, image_size):
-        recon, err, frame_scores, states = step(variables, jnp.asarray(raw[None]), states)
-        fs = np.asarray(frame_scores)[0, :n_valid]
+        shown, err, frame_scores, states, prev_pred = step(
+            variables, jnp.asarray(raw[None]), states, prev_pred
+        )
+        fs = np.array(np.asarray(frame_scores)[0, :n_valid])
+        if predict and first_chunk and len(fs) > 1:
+            fs[0] = fs[1]  # frame 0 has no prediction
+        first_chunk = False
         scores.extend(fs.tolist())
         if on_frame is not None:
-            recon_np = np.asarray(recon)[0]
+            shown_np = np.asarray(shown)[0]
             err_np = np.asarray(err)[0]
             for t in range(n_valid):
-                on_frame(raw[t], denormalize_u8(recon_np[t]), err_np[t], float(fs[t]))
+                on_frame(raw[t], denormalize_u8(shown_np[t]), err_np[t], float(fs[t]))
     return np.asarray(scores)
 
 
@@ -153,6 +178,7 @@ def generate_video_output(
     image_size: int = 256,
     sequence_length: int = 16,
     fps: Optional[float] = None,
+    objective: str = "reconstruct",
 ) -> np.ndarray:
     """Annotated side-by-side mp4 + score_timeline.png for one video."""
     if cv2 is None:  # pragma: no cover
@@ -182,7 +208,7 @@ def generate_video_output(
     try:
         scores = stream_scores(
             model, variables, video_path, image_size, chunk=sequence_length,
-            on_frame=on_frame,
+            on_frame=on_frame, objective=objective,
         )
     finally:
         writer.release()

@@ -280,7 +280,8 @@ def analyze_video(state: AppState, video_path: str):
         image_size = int(state.video_args.get("image_size", 256))
         seq = int(state.video_args.get("sequence_length", 16))
         scores = stream_scores(
-            state.video_model, state.video_variables, video_path, image_size, chunk=seq
+            state.video_model, state.video_variables, video_path, image_size, chunk=seq,
+            objective=state.video_args.get("objective", "reconstruct") or "reconstruct",
         )
         if len(scores) == 0:
             return None, "Video too short for analysis."
