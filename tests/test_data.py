@@ -191,8 +191,10 @@ class TestTexturedSynthetic:
 
 
 def test_textured_video_fixture(tmp_path):
-    """Temporal-anomaly fixture: frozen patch only differs ACROSS frames."""
+    """Temporal-anomaly fixture: patch motion is discordant, frames remain
+    individually plausible texture."""
     from vad_tpu.data.synthetic import create_synthetic_textured_video_data
+    from PIL import Image
 
     base = create_synthetic_textured_video_data(
         str(tmp_path), "tv", n_train_videos=1, n_test_videos=2,
@@ -201,17 +203,29 @@ def test_textured_video_fixture(tmp_path):
     ds = IPADDataset(str(tmp_path), "tv", "test", sequence_length=8, stride=4, image_size=64)
     labels = ds.labels
     assert labels.max() == 1 and labels.min() == 0
-    # anomalous frames are individually plausible textures: the frozen
-    # patch makes consecutive anomalous frames locally IDENTICAL
-    from PIL import Image
-    import numpy as np
+
+    def best_shift_mismatch(a, b):
+        # min over candidate global velocities of the pixel mismatch
+        # between frame b and frame a shifted by that velocity (texture is
+        # periodic, so np.roll models the scroll exactly)
+        best = 1.0
+        for vx in range(-3, 4):
+            for vy in range(-3, 4):
+                if vx == 0 and vy == 0:
+                    continue
+                rolled = np.roll(np.roll(a, -vy, axis=0), -vx, axis=1)
+                best = min(best, float((rolled != b).any(axis=-1).mean()))
+        return best
 
     la = np.load(base / "test_label" / "00.npy")
     anom = np.flatnonzero(la)
-    f1 = np.asarray(Image.open(base / "testing" / "frames" / "00" / f"{anom[2]:04d}.png"))
-    f2 = np.asarray(Image.open(base / "testing" / "frames" / "00" / f"{anom[3]:04d}.png"))
-    frozen_pixels = (f1 == f2).all(axis=-1).mean()
-    n1 = np.asarray(Image.open(base / "testing" / "frames" / "00" / "0000.png"))
-    n2 = np.asarray(Image.open(base / "testing" / "frames" / "00" / "0001.png"))
-    moving_pixels = (n1 == n2).all(axis=-1).mean()
-    assert frozen_pixels > moving_pixels + 0.02  # a patch truly froze
+    frames_dir = base / "testing" / "frames" / "00"
+    f = lambda t: np.asarray(Image.open(frames_dir / f"{t:04d}.png"))
+    # normal consecutive pair: one global shift explains (almost) all pixels
+    normal_mismatch = best_shift_mismatch(f(0), f(1))
+    # anomalous consecutive pair: the counter-scrolling patch cannot be
+    # explained by any single global shift
+    mid = anom[len(anom) // 2]
+    anom_mismatch = best_shift_mismatch(f(int(mid)), f(int(mid) + 1))
+    assert normal_mismatch < 0.02
+    assert anom_mismatch > normal_mismatch + 0.02

@@ -337,9 +337,11 @@ def create_synthetic_textured_video_data(
 
     Every frame shows a scrolling textured surface (constant per-video
     velocity).  In anomalous ranges a circular patch of the texture
-    FREEZES — each individual frame remains a perfectly plausible texture,
-    so per-frame appearance models cannot detect it; only temporal
-    modeling (the ConvLSTM) can.
+    scrolls AGAINST the global motion — each individual frame remains a
+    perfectly plausible texture (it is texture), so per-frame appearance
+    models score chance; only temporal modeling can detect the discordant
+    motion.  (A frozen patch would be the opposite trap: MORE predictable
+    than normal motion, inverting reconstruction-style scores.)
     """
     base = Path(data_dir) / category
     train_frames = base / "training" / "frames"
@@ -348,37 +350,34 @@ def create_synthetic_textured_video_data(
     for p in (train_frames, test_frames, label_dir):
         p.mkdir(parents=True, exist_ok=True)
 
-    def make_canvas(seed: int) -> np.ndarray:
-        # tile one image_size-PERIODIC texture 2x2: the scrolling window
-        # is then seamless both spatially (no tile seam) and temporally
-        # (no content jump at the wrap boundary)
-        return np.tile(_textured_surface(seed, image_size, periodic=True), (2, 2, 1))
+    # ONE category-wide texture (a fixed camera watching the same
+    # material): per-video texture variation would otherwise dominate the
+    # anomaly signal, since reconstructability differs between textures.
+    # Tiled 2x2 from an image_size-PERIODIC texture so the scrolling
+    # window is seamless both spatially and temporally.
+    canvas = np.tile(_textured_surface(424242, image_size, periodic=True), (2, 2, 1))
 
     def write_video(vdir: Path, seed: int, labels: Optional[np.ndarray]) -> None:
         vdir.mkdir(exist_ok=True)
         rng = np.random.default_rng(seed)
-        tex = make_canvas(seed)
+        tex = canvas
         vx, vy = rng.integers(1, 4, size=2) * (1 if rng.random() > 0.5 else -1)
-        frozen_patch = None
-        prev_frame = None
-        freeze_mask = None
+        patch_mask = None
         if labels is not None and labels.any():
             cx, cy = rng.integers(image_size // 4, 3 * image_size // 4, size=2)
             r = int(rng.integers(image_size // 8, image_size // 5))
-            freeze_mask = _disk_mask(image_size, cx, cy, r)
+            patch_mask = _disk_mask(image_size, cx, cy, r)
         for t in range(frames_per_video):
             ox = (vx * t) % image_size
             oy = (vy * t) % image_size
             frame = tex[oy : oy + image_size, ox : ox + image_size].copy()
             if labels is not None and labels[t]:
-                if frozen_patch is None:
-                    # freeze the PREVIOUS frame's content so the first
-                    # labeled frame already differs from normal rendering
-                    frozen_patch = (prev_frame if prev_frame is not None else frame).copy()
-                frame[freeze_mask] = frozen_patch[freeze_mask]
-            else:
-                frozen_patch = None
-            prev_frame = frame
+                # discordant motion: the patch shows the texture scrolled
+                # with the OPPOSITE velocity (2x relative speed mismatch)
+                ox2 = (-vx * t) % image_size
+                oy2 = (-vy * t) % image_size
+                counter = tex[oy2 : oy2 + image_size, ox2 : ox2 + image_size]
+                frame[patch_mask] = counter[patch_mask]
             Image.fromarray(frame).save(vdir / f"{t:04d}.png")
 
     for v in range(n_train_videos):
