@@ -94,7 +94,7 @@ def main() -> None:
         return np.broadcast_to(one, (streams, *one.shape)).copy()
 
     states = ConvLSTM.zero_state(
-        model.lstm_layers, streams, lat, lat, model.lstm_hidden_dim, dtype=dtype
+        model.lstm_layers, streams, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
     )
 
     # warm-up / compile (np.asarray = real device->host fetch; plain

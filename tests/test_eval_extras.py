@@ -46,6 +46,20 @@ class TestNumpyFallbacks:
         assert fpr[-1] == 1.0 and tpr[-1] == 1.0
         assert np.all(np.diff(fpr) >= 0)
 
+    def test_roc_points_fallback_matches_sklearn_with_ties(self, no_sklearn):
+        """Tied scores must collapse into ONE threshold step — counting
+        positives before negatives at a tie draws an optimistic segment."""
+        labels = np.array([0, 0, 1, 1, 0, 1, 0, 1])
+        scores = np.array([0.1, 0.5, 0.5, 0.9, 0.5, 0.5, 0.9, 0.1])
+        fpr, tpr = metrics.roc_points(labels, scores)
+        from sklearn.metrics import roc_curve
+
+        sk_fpr, sk_tpr, _ = roc_curve(labels, scores, drop_intermediate=False)
+        np.testing.assert_allclose(fpr, sk_fpr)
+        np.testing.assert_allclose(tpr, sk_tpr)
+        # curve area must agree with the midrank AUROC, not exceed it
+        assert np.isclose(np.trapezoid(tpr, fpr), metrics.auroc(labels, scores))
+
 
 def test_separation_ratio_edge_cases():
     assert metrics.separation_ratio([], [1.0]) == 0.0

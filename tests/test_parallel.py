@@ -11,9 +11,11 @@ from vad_tpu.ops.losses import mse_per_sample
 from vad_tpu.parallel.sharding import (
     convlstm_param_shardings,
     get_mesh,
+    opt_state_shardings,
     pad_batch_for_devices,
     padded_batch_size,
     replicate_sharding,
+    train_state_shardings,
 )
 from vad_tpu.train.state import create_train_state
 from vad_tpu.train.steps import make_train_step
@@ -62,28 +64,88 @@ def test_convlstm_param_shardings_target_gate_kernels():
     assert all("ConvLSTMLayer" in n for n in names)
 
 
-def test_tp_matches_dp_only_loss():
-    """Training step loss identical under (8,1) and (4,2) meshes."""
+def test_opt_state_shardings_mirror_params():
+    """Adam moments get exactly the param shardings; scalars replicated."""
+    mesh = get_mesh(model_parallel=2)
     model = VideoAutoencoder(latent_dim=128, lstm_hidden_dim=128, lstm_layers=2)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 32, 32, 3)), train=False)
-    x = np.random.default_rng(0).normal(size=(8, 2, 32, 32, 3)).astype(np.float32) * 0.5
+    state = create_train_state(model, variables, 1e-4)
+
+    param_sh = convlstm_param_shardings(state.params, mesh)
+    opt_sh = opt_state_shardings(state.opt_state, state.params, mesh)
+
+    # structure matches the opt_state leaf-for-leaf (device_put-able pairwise)
+    assert jax.tree.structure(opt_sh) == jax.tree.structure(state.opt_state)
+
+    # exactly two params-structured subtrees (mu, nu), each carrying the
+    # param shardings verbatim
+    pdef = jax.tree.structure(state.params)
+    matches = []
+
+    def collect(node):
+        if jax.tree.structure(node) == pdef:
+            matches.append(node)
+            return True
+        return False
+
+    jax.tree.map(lambda n: n, opt_sh, is_leaf=collect)
+    assert len(matches) == 2
+    n_param_sharded = sum(int(s.spec != P()) for s in jax.tree.leaves(param_sh))
+    assert n_param_sharded == 4
+    for m in matches:
+        assert jax.tree.all(jax.tree.map(lambda a, b: a == b, m, param_sh))
+
+    # everything outside the moments (count, hyperparams) is replicated
+    total_sharded = sum(int(s.spec != P()) for s in jax.tree.leaves(opt_sh))
+    assert total_sharded == 2 * n_param_sharded
+
+
+def test_tp_matches_dp_only_loss_multi_step():
+    """Per-step losses identical under (8,1) and (4,2) meshes across 3 Adam
+    steps, with the opt state sharded like the params under tp."""
+    model = VideoAutoencoder(latent_dim=128, lstm_hidden_dim=128, lstm_layers=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 32, 32, 3)), train=False)
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.normal(size=(8, 2, 32, 32, 3)).astype(np.float32) * 0.5 for _ in range(3)
+    ]
 
     losses = []
+    moment_specs = []
     for mp in (1, 2):
         mesh = get_mesh(model_parallel=mp)
         # fresh host copies: the donated train step would otherwise delete
         # buffers aliased with `variables` between iterations
         fresh = jax.tree.map(np.array, variables)
         state = create_train_state(model, fresh, 1e-4)
+        opt_sh = opt_state_shardings(state.opt_state, state.params, mesh)
         state = state.replace(
             params=jax.tree.map(
                 jax.device_put, state.params, convlstm_param_shardings(state.params, mesh)
             ),
             batch_stats=jax.device_put(state.batch_stats, replicate_sharding(mesh)),
-            opt_state=jax.device_put(state.opt_state, replicate_sharding(mesh)),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state, opt_sh),
         )
-        xd = jax.device_put(x, NamedSharding(mesh, P("data")))
-        step = make_train_step(mse_per_sample, mesh=None)
-        _, loss = step(state, xd, jnp.asarray(8))
-        losses.append(float(loss))
-    assert np.isclose(losses[0], losses[1], rtol=1e-5)
+        step = make_train_step(
+            mse_per_sample,
+            mesh=mesh,
+            state_shardings=train_state_shardings(state, mesh),
+        )
+        per_step = []
+        for x in batches:
+            xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+            state, loss = step(state, xd, jnp.asarray(8))
+            per_step.append(float(loss))
+        losses.append(per_step)
+        # after stepping, the Adam moments must still carry the tp sharding
+        moment_specs.append(
+            sorted(
+                str(leaf.sharding.spec)
+                for leaf in jax.tree.leaves(state.opt_state)
+                if hasattr(leaf, "sharding")
+                and getattr(leaf.sharding, "spec", P()) != P()
+            )
+        )
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4)
+    assert len(moment_specs[1]) == 8, moment_specs[1]  # 4 tensors x (mu, nu)
+    assert moment_specs[0] == []  # dp-only mesh: nothing model-sharded

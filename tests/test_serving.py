@@ -112,6 +112,28 @@ def test_bf16_policy_close_to_f32(scorer_setup):
     s16 = bf16.score_chunk(batch)[0]
     assert s16.dtype == np.float32  # scores surfaced in f32 either way
     np.testing.assert_allclose(s16, s32, rtol=0.03)
+    # the carried ConvLSTM (h, c) stays f32 under the bf16 policy: the
+    # cell state integrates across the whole stream and must not
+    # accumulate bf16 rounding (utils/precision.py)
+    for h, c in bf16.states:
+        assert h.dtype == jnp.float32 and c.dtype == jnp.float32
+
+
+def test_bf16_long_stream_no_state_drift(scorer_setup):
+    """Scores stay within the documented ~1% bound across MANY chunks —
+    the failure mode of carrying (h, c) in bf16 is cumulative drift."""
+    model, variables = scorer_setup
+    f32 = MultiStreamScorer(model, variables, num_slots=1, chunk=4, image_size=64)
+    bf16 = MultiStreamScorer(
+        model, variables, num_slots=1, chunk=4, image_size=64, dtype=jnp.bfloat16
+    )
+    f32.attach(0)
+    bf16.attach(0)
+    for i in range(12):  # 48 frames of carried state
+        batch = make_frames(100 + i, 4)[None]
+        s32 = f32.score_chunk(batch)[0]
+        s16 = bf16.score_chunk(batch)[0]
+    np.testing.assert_allclose(s16, s32, rtol=0.03)
 
 
 def test_shape_validation(scorer_setup):

@@ -16,6 +16,7 @@ AUROC is exercised end to end.
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
@@ -310,8 +311,9 @@ def create_synthetic_video_data(
         phase = rng.uniform(0, 2 * np.pi)
         speed = rng.uniform(0.12, 0.2)
         labels = np.zeros(frames_per_video, dtype=np.int64)
-        # odd-indexed test videos are fully normal, so sliding windows of
-        # any length/stride see both classes (window label = any-frame OR)
+        # even-indexed test videos carry an anomalous frame range; the
+        # odd-indexed ones stay fully normal, so sliding windows of any
+        # length/stride see both classes (window label = any-frame OR)
         if v % 2 == 0:
             a_start = int(frames_per_video * 0.4)
             a_end = int(frames_per_video * 0.7)
@@ -384,7 +386,7 @@ def create_synthetic_textured_video_data(
         write_video(train_frames / f"{v:02d}", 40_000 + v, None)
     for v in range(n_test_videos):
         labels = np.zeros(frames_per_video, dtype=np.int64)
-        if v % 2 == 0:  # odd-indexed test videos stay fully normal
+        if v % 2 == 0:  # even-indexed anomalous; odd-indexed stay fully normal
             labels[int(frames_per_video * 0.4) : int(frames_per_video * 0.75)] = 1
         write_video(test_frames / f"{v:02d}", 50_000 + v, labels)
         np.save(label_dir / f"{v:02d}.npy", labels)

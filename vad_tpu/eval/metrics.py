@@ -58,10 +58,17 @@ def roc_points(labels: np.ndarray, scores: np.ndarray) -> Tuple[np.ndarray, np.n
         return fpr, tpr
     order = np.argsort(-scores)
     labels = labels[order]
+    sorted_scores = scores[order]
     tps = np.cumsum(labels == 1)
     fps = np.cumsum(labels == 0)
-    tpr = np.concatenate([[0.0], tps / max(tps[-1], 1)])
-    fpr = np.concatenate([[0.0], fps / max(fps[-1], 1)])
+    # one point per distinct threshold (the last index of each tied-score
+    # run), mirroring sklearn.roc_curve — emitting every sample would draw
+    # an optimistic diagonal through ties (positives counted before
+    # negatives at the same score).
+    run_ends = np.nonzero(np.diff(sorted_scores))[0]
+    idx = np.concatenate([run_ends, [len(sorted_scores) - 1]])
+    tpr = np.concatenate([[0.0], tps[idx] / max(tps[-1], 1)])
+    fpr = np.concatenate([[0.0], fps[idx] / max(fps[-1], 1)])
     return fpr, tpr
 
 

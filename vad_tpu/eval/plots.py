@@ -9,12 +9,18 @@ working against `<run>/evaluation/`.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
-import matplotlib
+try:
+    import matplotlib
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+except ImportError as e:  # pragma: no cover - exercised only without [full]
+    raise ImportError(
+        "matplotlib is required for evaluation artifacts — install the full "
+        "extra: pip install 'vad-tpu[full]' (or pip install matplotlib)"
+    ) from e
 import numpy as np
 
 from vad_tpu.eval.metrics import auroc, roc_points
@@ -25,16 +31,36 @@ def denormalize(img: np.ndarray) -> np.ndarray:
     return np.clip(np.asarray(img) * 0.5 + 0.5, 0.0, 1.0)
 
 
-def plot_roc_curve(labels, scores, save_path: str | Path) -> None:
+def _fs(v: Optional[int]) -> Dict:
+    return {} if v is None else {"fontsize": v}
+
+
+def plot_roc_curve(
+    labels,
+    scores,
+    save_path: str | Path,
+    *,
+    title: str = "ROC Curve - Anomaly Detection",
+    fontsize: Optional[Tuple[int, int, int]] = (12, 14, 11),
+    diagonal_label: Optional[str] = "Random",
+) -> None:
+    """ROC artifact shared by the image and video eval paths.
+
+    Defaults reproduce the image styling (reference evaluate.py:94-110);
+    the video path passes its own title, no fontsizes, and no diagonal
+    label (reference evaluate_video.py:195-212).
+    """
     fpr, tpr = roc_points(labels, scores)
     a = auroc(labels, scores)
+    ax_fs, title_fs, leg_fs = fontsize if fontsize else (None, None, None)
     plt.figure(figsize=(8, 6))
     plt.plot(fpr, tpr, "b-", linewidth=2, label=f"AUROC = {a:.4f}")
-    plt.plot([0, 1], [0, 1], "k--", linewidth=1, label="Random")
-    plt.xlabel("False Positive Rate", fontsize=12)
-    plt.ylabel("True Positive Rate", fontsize=12)
-    plt.title("ROC Curve - Anomaly Detection", fontsize=14)
-    plt.legend(loc="lower right", fontsize=11)
+    diag = {"label": diagonal_label} if diagonal_label else {}
+    plt.plot([0, 1], [0, 1], "k--", linewidth=1, **diag)
+    plt.xlabel("False Positive Rate", **_fs(ax_fs))
+    plt.ylabel("True Positive Rate", **_fs(ax_fs))
+    plt.title(title, **_fs(title_fs))
+    plt.legend(loc="lower right", **_fs(leg_fs))
     plt.grid(True, alpha=0.3)
     plt.tight_layout()
     plt.savefig(save_path, dpi=150)
@@ -42,18 +68,41 @@ def plot_roc_curve(labels, scores, save_path: str | Path) -> None:
     print(f"Saved ROC curve to {save_path}")
 
 
-def plot_score_distribution(labels, scores, save_path: str | Path) -> None:
+def plot_score_distribution(
+    labels,
+    scores,
+    save_path: str | Path,
+    *,
+    xlabel: str = "Reconstruction Error (Anomaly Score)",
+    title: str = "Score Distribution: Normal vs Anomaly",
+    fontsize: Optional[Tuple[int, int, int]] = (12, 14, 11),
+    count_in_label: bool = True,
+    plot_empty_anomaly: bool = True,
+) -> None:
+    """Normal-vs-anomaly histogram shared by the image and video paths.
+
+    Defaults reproduce the image styling (reference evaluate.py:186-204);
+    the video path passes plain labels, its own title/xlabel, no fontsizes,
+    and skips the anomaly histogram when the class is absent (reference
+    evaluate_video.py:214-228).
+    """
     labels = np.asarray(labels)
     scores = np.asarray(scores)
     normal = scores[labels == 0]
     anomaly = scores[labels == 1]
+    ax_fs, title_fs, leg_fs = fontsize if fontsize else (None, None, None)
+
+    def leg(name, arr):
+        return f"{name} (n={len(arr)})" if count_in_label else name
+
     plt.figure(figsize=(10, 6))
-    plt.hist(normal, bins=30, alpha=0.7, label=f"Normal (n={len(normal)})", color="green")
-    plt.hist(anomaly, bins=30, alpha=0.7, label=f"Anomaly (n={len(anomaly)})", color="red")
-    plt.xlabel("Reconstruction Error (Anomaly Score)", fontsize=12)
-    plt.ylabel("Count", fontsize=12)
-    plt.title("Score Distribution: Normal vs Anomaly", fontsize=14)
-    plt.legend(fontsize=11)
+    plt.hist(normal, bins=30, alpha=0.7, label=leg("Normal", normal), color="green")
+    if plot_empty_anomaly or len(anomaly) > 0:
+        plt.hist(anomaly, bins=30, alpha=0.7, label=leg("Anomaly", anomaly), color="red")
+    plt.xlabel(xlabel, **_fs(ax_fs))
+    plt.ylabel("Count", **_fs(ax_fs))
+    plt.title(title, **_fs(title_fs))
+    plt.legend(**_fs(leg_fs))
     plt.grid(True, alpha=0.3)
     plt.tight_layout()
     plt.savefig(save_path, dpi=150)

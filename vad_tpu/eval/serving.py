@@ -54,8 +54,11 @@ class MultiStreamScorer:
         self.return_maps = return_maps
         self.dtype = dtype
         lat = image_size // 16
+        # the carried ConvLSTM state stays f32 even under a bf16 policy —
+        # it integrates across the whole stream (utils/precision.py); the
+        # scan path casts only the MXU conv inputs down to `dtype`.
         self._zero_state = ConvLSTM.zero_state(
-            model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim, dtype=dtype
+            model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
         )
         self.states = self._zero_state
         self._active = np.zeros(num_slots, dtype=bool)

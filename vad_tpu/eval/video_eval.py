@@ -14,10 +14,6 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import matplotlib
-
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
 import numpy as np
 
 try:
@@ -27,7 +23,8 @@ except ImportError:  # pragma: no cover
 
 from vad_tpu.data.loader import Loader
 from vad_tpu.data.video_dataset import detect_video_dataset_class
-from vad_tpu.eval.metrics import auroc, roc_points
+from vad_tpu.eval.metrics import auroc
+from vad_tpu.eval.plots import plot_roc_curve, plot_score_distribution, plt
 from vad_tpu.models.video_autoencoder import VideoAutoencoder
 from vad_tpu.parallel.sharding import pad_batch_for_devices
 from vad_tpu.utils.checkpoint import load_checkpoint
@@ -154,33 +151,26 @@ def evaluate(args: Any) -> float:
     eval_dir.mkdir(exist_ok=True)
 
     if len(np.unique(all_labels)) > 1:
-        fpr, tpr = roc_points(all_labels, all_scores)
-        plt.figure(figsize=(8, 6))
-        plt.plot(fpr, tpr, "b-", linewidth=2, label=f"AUROC = {a:.4f}")
-        plt.plot([0, 1], [0, 1], "k--", linewidth=1)
-        plt.xlabel("False Positive Rate")
-        plt.ylabel("True Positive Rate")
-        plt.title(f"ROC Curve - Video Anomaly Detection\n{category}")
-        plt.legend(loc="lower right")
-        plt.grid(True, alpha=0.3)
-        plt.tight_layout()
-        plt.savefig(eval_dir / "roc_curve.png", dpi=150)
-        plt.close()
-        print(f"\nSaved ROC curve to {eval_dir / 'roc_curve.png'}")
+        print()
+        plot_roc_curve(
+            all_labels,
+            all_scores,
+            eval_dir / "roc_curve.png",
+            title=f"ROC Curve - Video Anomaly Detection\n{category}",
+            fontsize=None,
+            diagonal_label=None,
+        )
 
-    plt.figure(figsize=(10, 6))
-    plt.hist(normal, bins=30, alpha=0.7, label="Normal", color="green")
-    if len(anomaly) > 0:
-        plt.hist(anomaly, bins=30, alpha=0.7, label="Anomaly", color="red")
-    plt.xlabel("Anomaly Score")
-    plt.ylabel("Count")
-    plt.title(f"Score Distribution - {category}")
-    plt.legend()
-    plt.grid(True, alpha=0.3)
-    plt.tight_layout()
-    plt.savefig(eval_dir / "score_distribution.png", dpi=150)
-    plt.close()
-    print(f"Saved score distribution to {eval_dir / 'score_distribution.png'}")
+    plot_score_distribution(
+        all_labels,
+        all_scores,
+        eval_dir / "score_distribution.png",
+        xlabel="Anomaly Score",
+        title=f"Score Distribution - {category}",
+        fontsize=None,
+        count_in_label=False,
+        plot_empty_anomaly=False,
+    )
 
     print("\nGenerating visualizations...")
     generate_visualizations(

@@ -48,11 +48,16 @@ def convlstm_step(
 
     Returns:
         (h_next, c_next).  Matches reference video_autoencoder.py:67-83.
+
+    Precision: the convolution runs in the kernel's dtype (bf16 on the MXU
+    under the serving policy), but the gate math and state update run in
+    the carry's dtype — callers keep (h, c) in f32 so the cell state never
+    accumulates bf16 rounding across long streams (utils/precision.py).
     """
     gates = gates_x_t + jax.lax.conv_general_dilated(
-        h, w_h, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        h.astype(w_h.dtype), w_h, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, g, o = jnp.split(gates.astype(c.dtype), 4, axis=-1)
     c_next = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_next = jax.nn.sigmoid(o) * jnp.tanh(c_next)
     return h_next, c_next
@@ -140,22 +145,32 @@ class ConvLSTMLayer(nn.Module):
             + bias
         ).reshape(b, t, hgt, wid, 4 * self.hidden_dim)
 
-        if initial_state is None:
-            h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), x_seq.dtype)
-            c0 = jnp.zeros_like(h0)
-        else:
-            h0, c0 = initial_state
-
         if self.backend == "pallas":
             from vad_tpu.ops.convlstm_pallas import convlstm_recurrence_pallas
 
+            if initial_state is None:
+                h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), x_seq.dtype)
+                c0 = jnp.zeros_like(h0)
+            else:
+                h0, c0 = (s.astype(x_seq.dtype) for s in initial_state)
             h_seq, final = convlstm_recurrence_pallas(gates_x, w_h, h0, c0)
             return (h_seq, final) if return_state else h_seq
+
+        # The scan carry (h, c) stays f32 even under a bf16 policy: the cell
+        # state integrates across the whole stream and would otherwise
+        # accumulate bf16 rounding (utils/precision.py).  Only the per-step
+        # hidden conv input and the emitted sequence are cast down.
+        if initial_state is None:
+            h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), jnp.float32)
+            c0 = jnp.zeros_like(h0)
+        else:
+            h0, c0 = (s.astype(jnp.float32) for s in initial_state)
+        out_dtype = x_seq.dtype
 
         def step(carry, gates_x_t):
             h, c = carry
             h, c = convlstm_step(gates_x_t, h, c, w_h)
-            return (h, c), h
+            return (h, c), h.astype(out_dtype)
 
         if self.remat:
             step = jax.checkpoint(step)

@@ -80,6 +80,51 @@ def convlstm_param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def opt_state_shardings(opt_state, params, mesh: Mesh):
+    """NamedSharding tree for the optimizer state, mirroring the params.
+
+    Every params-structured subtree inside ``opt_state`` (Adam's mu/nu
+    moments — the same size as the params) gets `convlstm_param_shardings`;
+    scalars and hyperparameters are replicated.  Under tensor parallelism
+    this keeps each device's moment shards aligned with its param shards
+    instead of holding full-size replicated moments (which would undercut
+    the memory rationale of the tp axis).
+    """
+    param_sh = convlstm_param_shardings(params, mesh)
+    pdef = jax.tree.structure(params)
+    repl = replicate_sharding(mesh)
+
+    def params_like(node) -> bool:
+        try:
+            return jax.tree.structure(node) == pdef
+        except Exception:
+            return False
+
+    def fix(node):
+        return param_sh if params_like(node) else repl
+
+    return jax.tree.map(fix, opt_state, is_leaf=params_like)
+
+
+def train_state_shardings(state, mesh: Mesh):
+    """Sharding pytree for a full TrainState under the ('data','model') mesh:
+    params via `convlstm_param_shardings`, Adam moments mirroring them
+    (`opt_state_shardings`), step counter / batch stats replicated.
+
+    Pass this as the train step's in/out sharding so the compiled step's
+    output placement is pinned to the declared layout — without it GSPMD
+    propagation is free to shard extra leaves, and the state's placement
+    would drift from what the host device_put established.
+    """
+    repl = replicate_sharding(mesh)
+    return state.replace(
+        step=repl,
+        params=convlstm_param_shardings(state.params, mesh),
+        opt_state=opt_state_shardings(state.opt_state, state.params, mesh),
+        batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict:
     """device_put array fields with batch sharding; pass metadata through."""
     sh = batch_sharding(mesh)

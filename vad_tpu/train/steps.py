@@ -27,7 +27,9 @@ def u8_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.float32) / 127.5 - 1.0
 
 
-def make_train_step(per_sample_loss_fn: Callable, mesh=None, preprocess=None):
+def make_train_step(
+    per_sample_loss_fn: Callable, mesh=None, preprocess=None, state_shardings=None
+):
     """Compiled (state, images, n_real) -> (state, loss) step.
 
     The loss is a masked mean over the first ``n_real`` samples, so padded
@@ -37,6 +39,12 @@ def make_train_step(per_sample_loss_fn: Callable, mesh=None, preprocess=None):
     dataset allows and only pad when unavoidable (dataset smaller than a
     batch, or a mesh data axis that doesn't divide the batch).
     ``preprocess`` (e.g. u8_normalize) runs inside the compiled step.
+
+    ``state_shardings`` (a TrainState-shaped pytree of NamedShardings, see
+    vad_tpu.parallel.train_state_shardings) pins the state's in/out
+    placement — required under tensor parallelism where the state is not
+    uniformly replicated; defaults to fully replicated when only ``mesh``
+    is given.
     """
 
     def step(state, images, n_real):
@@ -64,12 +72,15 @@ def make_train_step(per_sample_loss_fn: Callable, mesh=None, preprocess=None):
 
     kwargs = {}
     if mesh is not None:
+        state_sh = (
+            state_shardings if state_shardings is not None else replicate_sharding(mesh)
+        )
         kwargs["in_shardings"] = (
-            replicate_sharding(mesh),
+            state_sh,
             batch_sharding(mesh),
             replicate_sharding(mesh),
         )
-        kwargs["out_shardings"] = (replicate_sharding(mesh), replicate_sharding(mesh))
+        kwargs["out_shardings"] = (state_sh, replicate_sharding(mesh))
     # donate only the state: params/opt buffers are reused in place; the
     # image batch has no same-shape output to alias.
     return jax.jit(step, donate_argnums=(0,), **kwargs)
