@@ -134,6 +134,49 @@ class TestVideoDatasets:
         assert s["original_frames"].shape == (8, 64, 64, 3)
         assert s["original_frames"].dtype == np.uint8
 
+    def test_capture_handles_released_on_close(self, tmp_path):
+        """Dataset teardown must release cv2.VideoCapture handles — the UI
+        and serving churn through datasets in one long-lived process."""
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+
+        path = create_synthetic_video_file(
+            str(tmp_path / "clip3.mp4"), n_frames=16, image_size=64
+        )
+        ds = VideoFileDataset(path, sequence_length=4, stride=4, image_size=64)
+        ds[0]
+        assert ds._caps.open_handles() == 1
+        ds.close()
+        assert ds._caps.open_handles() == 0
+        # still usable after close: handles reopen lazily
+        s = ds[1]
+        assert s["frames"].shape == (4, 64, 64, 3)
+        assert ds._caps.open_handles() == 1
+        # context-manager teardown
+        with VideoFileDataset(path, sequence_length=4, stride=4, image_size=64) as ds2:
+            ds2[0]
+            assert ds2._caps.open_handles() == 1
+        assert ds2._caps.open_handles() == 0
+
+    def test_capture_pool_caps_per_thread_handles(self, tmp_path):
+        """The per-thread pool is bounded: N distinct files keep at most
+        max_per_thread open captures (oldest released first)."""
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+        from vad_tpu.data.video_dataset import _CaptureCache
+
+        paths = [
+            create_synthetic_video_file(
+                str(tmp_path / f"c{i}.mp4"), n_frames=6, image_size=64, seed=i
+            )
+            for i in range(4)
+        ]
+        cache = _CaptureCache(max_per_thread=2)
+        for p in paths:
+            frames = cache.read_window(p, 0, 2)
+            assert len(frames) == 2
+        assert cache.open_handles() == 2
+        cache.close()
+        assert cache.open_handles() == 0
+
     def test_sequential_read_consistency(self, tmp_path):
         """Cached sequential decode must agree with fresh seeks."""
         from vad_tpu.data.synthetic import create_synthetic_video_file

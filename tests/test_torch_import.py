@@ -223,6 +223,93 @@ def test_export_cli(tmp_path):
     np.testing.assert_allclose(back, orig, rtol=1e-6)
 
 
+def test_video_export_roundtrip():
+    """torch -> ours -> torch (video): state_dicts numerically identical."""
+    from vad_tpu.utils.torch_import import export_video_state_dict
+
+    oracle = TorchVideoOracle(latent=32, hidden=32).eval()
+    _randomize_bn_stats(oracle, np.random.default_rng(6))
+    sd = oracle.state_dict()
+    params, stats = import_video_state_dict(sd)
+    exported = export_video_state_dict(params, stats)
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_allclose(
+            exported[key], val.numpy(), rtol=1e-6, atol=1e-7, err_msg=key
+        )
+
+
+def test_video_export_loads_into_reference_model(tmp_path):
+    """Exported video .pth loads strict=True into the ACTUAL reference
+    VideoAutoencoder (/root/reference/models/video_autoencoder.py:279) and
+    produces the same forward outputs as our model."""
+    import importlib
+    import sys
+
+    ref_root = "/root/reference"
+    import os
+
+    if not os.path.isdir(ref_root):  # pragma: no cover - reference absent
+        pytest.skip("reference checkout not available")
+
+    from vad_tpu.utils.checkpoint import save_checkpoint
+    from vad_tpu.utils.torch_import import export_torch_checkpoint
+
+    rng = np.random.default_rng(7)
+    model = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32, lstm_layers=2)
+    variables = model.init(jax.random.key(2), jnp.zeros((1, 2, 32, 32, 3)), train=False)
+    # non-trivial BN stats so eval-mode parity is actually exercised
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape).astype(np.float32) * 0.1)
+        if a.ndim >= 1
+        else a,
+        variables,
+    )
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: jnp.abs(a) + 0.5, variables["batch_stats"]
+    )
+
+    ours = tmp_path / "video.ckpt"
+    save_checkpoint(
+        ours,
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+            "epoch": 2,
+            "args": {"latent_dim": 32, "lstm_hidden_dim": 32, "lstm_layers": 2},
+            "model_type": "video",
+        },
+    )
+    pth = tmp_path / "video.pth"
+    export_torch_checkpoint(ours, pth)
+
+    sys.path.insert(0, ref_root)
+    try:
+        ref_mod = importlib.import_module("models.video_autoencoder")
+        ref_model = ref_mod.VideoAutoencoder(
+            in_channels=3, latent_dim=32, lstm_hidden_dim=32, lstm_num_layers=2
+        )
+    finally:
+        sys.path.remove(ref_root)
+
+    payload = torch.load(pth, map_location="cpu", weights_only=False)
+    ref_model.load_state_dict(payload["model_state_dict"], strict=True)
+    ref_model.eval()
+
+    x = np.random.default_rng(8).normal(size=(1, 3, 32, 32, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref_out = ref_model(torch.tensor(np.transpose(x, (0, 1, 4, 2, 3)))).numpy()
+    ref_out = np.transpose(ref_out, (0, 1, 3, 4, 2))
+    with jax.default_matmul_precision("highest"):
+        ours_out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x),
+            train=False,
+        )
+    np.testing.assert_allclose(np.asarray(ours_out), ref_out, rtol=1e-3, atol=2e-4)
+
+
 def test_full_checkpoint_roundtrip(tmp_path):
     """torch dict -> import CLI payload -> evaluate-compatible .ckpt."""
     oracle = TorchImageOracle(latent=64)

@@ -70,10 +70,44 @@ class Window:
 
 
 class _CaptureCache:
-    """Per-thread cv2.VideoCapture pool with sequential-read detection."""
+    """Per-thread cv2.VideoCapture pool with sequential-read detection.
 
-    def __init__(self) -> None:
+    Handles are bounded (``max_per_thread``, oldest-released-first) and the
+    whole pool is releasable via :meth:`close` — long-lived processes (the
+    UI, serving) would otherwise accumulate open file descriptors as
+    datasets churn.  Datasets call close() on teardown; ``__del__`` is a
+    GC backstop.
+    """
+
+    def __init__(self, max_per_thread: int = 8) -> None:
         self._local = threading.local()
+        self.max_per_thread = max_per_thread
+        # threading.local hides other threads' stores from close(); track
+        # every store centrally so one call releases all handles
+        self._stores: List[Dict] = []
+        self._stores_lock = threading.Lock()
+
+    def close(self) -> None:
+        """Release every cached VideoCapture across all threads.
+
+        Stores stay registered (threads keep their thread-local reference
+        to the same dict), so a read after close() is still tracked."""
+        with self._stores_lock:
+            stores = list(self._stores)
+        for store in stores:
+            for cap, _ in list(store.values()):
+                cap.release()
+            store.clear()
+
+    def __del__(self) -> None:  # pragma: no cover - GC timing dependent
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def open_handles(self) -> int:
+        with self._stores_lock:
+            return sum(len(s) for s in self._stores)
 
     def read_window(self, path: str, start: int, length: int) -> List[np.ndarray]:
         if cv2 is None:  # pragma: no cover
@@ -81,8 +115,13 @@ class _CaptureCache:
         store = getattr(self._local, "caps", None)
         if store is None:
             store = self._local.caps = {}
+            with self._stores_lock:
+                self._stores.append(store)
         cap, pos = store.get(path, (None, -1))
         if cap is None:
+            while len(store) >= self.max_per_thread:
+                old_cap, _ = store.pop(next(iter(store)))  # oldest insertion
+                old_cap.release()
             cap = cv2.VideoCapture(path)
             pos = 0
         if pos != start:
@@ -189,6 +228,19 @@ class _WindowDataset:
 
     def __len__(self) -> int:
         return len(self.windows)
+
+    def close(self) -> None:
+        """Release decoder handles (and the decoded-frame cache).  Safe to
+        call repeatedly; the dataset remains usable (handles reopen lazily)."""
+        self._caps.close()
+        self._cache.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False
 
     @property
     def labels(self) -> np.ndarray:

@@ -233,34 +233,89 @@ def export_image_state_dict(params: Mapping, stats: Mapping) -> dict:
     return out
 
 
-def export_torch_checkpoint(checkpoint_path: str | Path, out_path: str | Path) -> None:
-    """Our .ckpt -> a torch .pth loadable by the reference (image model).
+def export_video_state_dict(params: Mapping, stats: Mapping) -> dict:
+    """(params, batch_stats) -> reference-named torch state_dict arrays.
 
-    Video export is not implemented (the reference consumes checkpoints
-    for inference/eval, and the video model's forward matches ours — add
-    on demand).
+    Inverse of `import_video_state_dict`: targets the exact module naming
+    of reference models/video_autoencoder.py:279-327 (encoder.encoder.N,
+    convlstm.cells.K.conv, optional proj, decoder.decoder.N), so the
+    result loads with ``strict=True`` into the reference VideoAutoencoder.
+    """
+    out: dict = {}
+    for i in range(4):
+        out[f"encoder.encoder.{4 * i}.weight"] = _conv_kernel_to_torch(
+            params["encoder"][f"Conv_{i}"]["kernel"]
+        )
+        out[f"encoder.encoder.{4 * i}.bias"] = np.asarray(
+            params["encoder"][f"Conv_{i}"]["bias"]
+        )
+        _export_bn(
+            params["encoder"][f"BatchNorm_{i}"], stats["encoder"][f"BatchNorm_{i}"],
+            f"encoder.encoder.{4 * i + 1}", out,
+        )
+
+    layer = 0
+    while f"ConvLSTMLayer_{layer}" in params["convlstm"]:
+        cell = params["convlstm"][f"ConvLSTMLayer_{layer}"]
+        out[f"convlstm.cells.{layer}.conv.weight"] = _conv_kernel_to_torch(cell["kernel"])
+        out[f"convlstm.cells.{layer}.conv.bias"] = np.asarray(cell["bias"])
+        layer += 1
+
+    if "proj" in params:  # 1x1 projection (only when hidden != latent)
+        out["proj.weight"] = _conv_kernel_to_torch(params["proj"]["kernel"])
+        out["proj.bias"] = np.asarray(params["proj"]["bias"])
+
+    for i in range(3):
+        out[f"decoder.decoder.{3 * i}.weight"] = _convT_kernel_to_torch(
+            params["decoder"][f"ConvTranspose_{i}"]["kernel"]
+        )
+        out[f"decoder.decoder.{3 * i}.bias"] = np.asarray(
+            params["decoder"][f"ConvTranspose_{i}"]["bias"]
+        )
+        _export_bn(
+            params["decoder"][f"BatchNorm_{i}"], stats["decoder"][f"BatchNorm_{i}"],
+            f"decoder.decoder.{3 * i + 1}", out,
+        )
+    out["decoder.decoder.9.weight"] = _convT_kernel_to_torch(
+        params["decoder"]["ConvTranspose_3"]["kernel"]
+    )
+    out["decoder.decoder.9.bias"] = np.asarray(params["decoder"]["ConvTranspose_3"]["bias"])
+    return out
+
+
+def export_torch_checkpoint(checkpoint_path: str | Path, out_path: str | Path) -> None:
+    """Our .ckpt -> a torch .pth loadable by the reference (both families).
+
+    Model family is detected from the param tree ('convlstm' subtree =>
+    video), matching the importer's `detect_model_type`.  The payload
+    carries the reference checkpoint schema (train.py:208-225 /
+    train_video.py:241-285: epoch, model_state_dict, losses, separation,
+    args) so reference evaluate.py / evaluate_video.py can rebuild the
+    model from ``args`` as usual.
     """
     import torch
 
     from vad_tpu.utils.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(checkpoint_path)
-    if ckpt.get("model_type", "image") != "image":
-        raise NotImplementedError("only image checkpoints can be exported")
+    is_video = "convlstm" in ckpt["params"]
+    exporter = export_video_state_dict if is_video else export_image_state_dict
     sd = {
-        k: torch.tensor(v)
-        for k, v in export_image_state_dict(ckpt["params"], ckpt["batch_stats"]).items()
+        k: torch.tensor(np.asarray(v))
+        for k, v in exporter(ckpt["params"], ckpt["batch_stats"]).items()
     }
-    torch.save(
-        {
-            "epoch": ckpt.get("epoch"),
-            "model_state_dict": sd,
-            "train_loss": ckpt.get("train_loss"),
-            "val_loss": ckpt.get("val_loss"),
-            "args": ckpt.get("args", {}),
-        },
-        str(out_path),
-    )
+    payload = {
+        "epoch": ckpt.get("epoch"),
+        "model_state_dict": sd,
+        "train_loss": ckpt.get("train_loss"),
+        "val_loss": ckpt.get("val_loss"),
+        "args": ckpt.get("args", {}),
+    }
+    if is_video:
+        for key in ("separation", "normal_err", "anomaly_err", "history"):
+            if ckpt.get(key) is not None:
+                payload[key] = ckpt[key]
+    torch.save(payload, str(out_path))
 
 
 def main(argv=None) -> None:
@@ -277,7 +332,7 @@ def main(argv=None) -> None:
 
     if args.export:
         export_torch_checkpoint(args.checkpoint, args.out)
-        print(f"Exported image checkpoint -> {args.out}")
+        print(f"Exported checkpoint -> {args.out}")
         return
 
     from vad_tpu.utils.checkpoint import save_checkpoint
