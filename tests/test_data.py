@@ -192,6 +192,68 @@ class TestVideoDatasets:
             np.testing.assert_array_equal(a, b)
 
 
+class TestDataAcquisition:
+    """kagglehub download path (reference download_data.py:56-82) with
+    graceful degradation, and the manual category installer."""
+
+    def test_install_mvtec_categories(self, tmp_path):
+        from vad_tpu.data.synthetic import install_mvtec_categories
+
+        src = tmp_path / "download"
+        for cat in ("bottle", "cable"):
+            (src / cat / "train" / "good").mkdir(parents=True)
+            (src / cat / "train" / "good" / "0.png").write_bytes(b"x")
+        dst = tmp_path / "data"
+        (dst / "bottle").mkdir(parents=True)  # pre-existing: must be skipped
+        install_mvtec_categories(src, dst)
+        assert (dst / "cable" / "train" / "good" / "0.png").exists()
+        assert not (dst / "bottle" / "train").exists()  # untouched
+
+    def test_kagglehub_missing_degrades(self, capsys):
+        """No kagglehub in this image: must print instructions, not raise."""
+        from vad_tpu.data.synthetic import download_with_kagglehub
+
+        assert download_with_kagglehub("/tmp/nonexistent-data") is None
+        out = capsys.readouterr().out
+        assert "manual" in out and "mvtec-ad" in out
+
+    def test_kagglehub_download_failure_degrades(self, monkeypatch, capsys):
+        import sys
+        import types
+
+        fake = types.ModuleType("kagglehub")
+        fake.dataset_download = lambda name: (_ for _ in ()).throw(
+            ConnectionError("no egress")
+        )
+        monkeypatch.setitem(sys.modules, "kagglehub", fake)
+        from vad_tpu.data.synthetic import download_with_kagglehub
+
+        assert download_with_kagglehub("/tmp/nonexistent-data") is None
+        out = capsys.readouterr().out
+        assert "Download failed: no egress" in out and "manual" in out
+
+    def test_kagglehub_success_installs(self, monkeypatch, tmp_path):
+        import sys
+        import types
+
+        src = tmp_path / "kaggle_cache"
+        (src / "bottle" / "train" / "good").mkdir(parents=True)
+        fake = types.ModuleType("kagglehub")
+        fake.dataset_download = lambda name: str(src)
+        monkeypatch.setitem(sys.modules, "kagglehub", fake)
+        from vad_tpu.data.synthetic import download_with_kagglehub
+
+        dst = tmp_path / "data"
+        assert download_with_kagglehub(str(dst)) == str(src)
+        assert (dst / "bottle" / "train" / "good").exists()
+
+    def test_cli_kagglehub_method(self, capsys):
+        from vad_tpu.data.synthetic import main
+
+        main(["--method", "kagglehub", "--data-dir", "/tmp/nonexistent-data"])
+        assert "mvtec-ad" in capsys.readouterr().out
+
+
 class TestTexturedSynthetic:
     def test_layout_and_masks(self, tmp_path):
         from vad_tpu.data.synthetic import create_synthetic_textured_data

@@ -420,6 +420,54 @@ def create_synthetic_video_file(
     return str(path)
 
 
+def install_mvtec_categories(src_dir: str, data_dir: str) -> Path:
+    """Copy MVTec category folders from an extracted download into the
+    data dir (reference download_data.py:16-53; copies whatever category
+    folders exist rather than a hard-coded list)."""
+    import shutil
+
+    src, dst = Path(src_dir), Path(data_dir)
+    dst.mkdir(parents=True, exist_ok=True)
+    for cat in sorted(p.name for p in src.iterdir() if p.is_dir()):
+        if not (dst / cat).exists():
+            print(f"Copying {cat}...")
+            shutil.copytree(src / cat, dst / cat)
+    print(f"Dataset ready at: {dst.absolute()}")
+    return dst
+
+
+def download_with_kagglehub(data_dir: str = "./data") -> Optional[str]:
+    """Programmatic MVTec-AD download via kagglehub (reference
+    download_data.py:56-82), degrading gracefully to manual instructions
+    when kagglehub is missing, credentials are absent, or there is no
+    network (this sandbox has zero egress).
+
+    Returns the kagglehub cache path on success, None otherwise.
+    """
+    fallback = (
+        "Falling back to manual install: download "
+        "https://www.kaggle.com/datasets/ipythonx/mvtec-ad , extract it, "
+        "and run with --method manual --kaggle-path /path/to/extracted/mvtec."
+    )
+    try:
+        import kagglehub
+    except ImportError:
+        print("kagglehub is not installed (pip install kagglehub).")
+        print(fallback)
+        return None
+    print("Downloading MVTec AD from Kaggle (ipythonx/mvtec-ad)...")
+    print("Note: requires Kaggle API credentials (~/.kaggle/kaggle.json)")
+    try:
+        path = kagglehub.dataset_download("ipythonx/mvtec-ad")
+    except Exception as e:  # noqa: BLE001 - network/credential failures
+        print(f"Download failed: {e}")
+        print(fallback)
+        return None
+    print(f"Downloaded to: {path}")
+    install_mvtec_categories(path, data_dir)
+    return path
+
+
 def main(argv=None) -> None:
     """CLI mirroring reference utils/download_data.py:187-218."""
     import argparse
@@ -452,24 +500,12 @@ def main(argv=None) -> None:
         path = create_synthetic_textured_video_data(args.data_dir, category)
         print(f"Synthetic textured video dataset created at: {path.absolute()}")
     elif args.method == "kagglehub":
-        print(
-            "Programmatic download needs kaggle credentials + network; "
-            "download https://www.kaggle.com/datasets/ipythonx/mvtec-ad "
-            "manually and pass --method manual --kaggle-path <dir>."
-        )
+        download_with_kagglehub(args.data_dir)
     else:  # manual
         if not args.kaggle_path:
             print("Pass --kaggle-path /path/to/extracted/mvtec to install it.")
             return
-        import shutil
-
-        src, dst = Path(args.kaggle_path), Path(args.data_dir)
-        dst.mkdir(parents=True, exist_ok=True)
-        for cat in sorted(p.name for p in src.iterdir() if p.is_dir()):
-            if not (dst / cat).exists():
-                print(f"Copying {cat}...")
-                shutil.copytree(src / cat, dst / cat)
-        print(f"Dataset ready at: {dst.absolute()}")
+        install_mvtec_categories(args.kaggle_path, args.data_dir)
 
 
 if __name__ == "__main__":
