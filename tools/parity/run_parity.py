@@ -88,7 +88,7 @@ def gen_fixtures(data_dir: Path) -> None:
         )
 
 
-def run(cmd, cwd, env_extra=None) -> tuple[str, float]:
+def run(cmd, cwd, env_extra=None, check=True) -> tuple[str, float, int]:
     import os
 
     env = dict(os.environ)
@@ -96,10 +96,10 @@ def run(cmd, cwd, env_extra=None) -> tuple[str, float]:
         env.update(env_extra)
     t0 = time.perf_counter()
     proc = subprocess.run(
-        cmd, cwd=cwd, env=env, check=True,
+        cmd, cwd=cwd, env=env, check=check,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
-    return proc.stdout, time.perf_counter() - t0
+    return proc.stdout, time.perf_counter() - t0, proc.returncode
 
 
 def find_run_dir(stdout: str) -> Path:
@@ -110,7 +110,9 @@ def find_run_dir(stdout: str) -> Path:
 
 
 def parse_aurocs(kind: str, results_txt: Path, eval_stdout: str) -> dict:
-    text = results_txt.read_text() + "\n" + eval_stdout
+    text = eval_stdout
+    if results_txt.exists():
+        text = results_txt.read_text() + "\n" + text
     out = {}
     if kind == "image":
         m = re.search(r"AUROC: ([0-9.]+)", text)
@@ -147,7 +149,7 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path) -> dict:
         "--data-dir", str(data_dir), "--results-dir", str(results_dir),
     ]
     print(f"[{side}/{fixture['name']}] training: {' '.join(train_cmd)}", flush=True)
-    stdout, train_s = run(train_cmd, cwd, env)
+    stdout, train_s, _ = run(train_cmd, cwd, env)
     run_dir = find_run_dir(stdout)
     (results_dir / f"{fixture['name']}_train.log").write_text(stdout)
 
@@ -156,9 +158,29 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path) -> dict:
         "--data-dir", str(data_dir),
     ]
     print(f"[{side}/{fixture['name']}] evaluating", flush=True)
-    eval_out, eval_s = run(eval_cmd, cwd, env)
+    # check=False: the unmodified reference crashes in its own visualization
+    # step at image-size 128 (evaluate_video.py:283 hardcodes a 256x256
+    # heatmap) AFTER printing the AUROC; tolerate that and parse stdout.
+    eval_out, eval_s, eval_rc = run(eval_cmd, cwd, env, check=False)
     (results_dir / f"{fixture['name']}_eval.log").write_text(eval_out)
     results_txt = run_dir / "evaluation" / "results.txt"
+    if eval_rc != 0 and "AUROC" not in eval_out:
+        raise RuntimeError(
+            f"{side}/{fixture['name']} eval failed (rc={eval_rc}):\n{eval_out[-2000:]}"
+        )
+    if not results_txt.exists():
+        # reference crashed before writing results.txt; synthesize it from the
+        # stdout metrics so the committed artifact set is complete
+        results_txt.parent.mkdir(parents=True, exist_ok=True)
+        metric_lines = [
+            ln for ln in eval_out.splitlines()
+            if "AUROC" in ln or "mean:" in ln or "Separation" in ln
+        ]
+        results_txt.write_text(
+            "(reconstructed from eval stdout; the unmodified reference crashed in\n"
+            "its visualization step at image-size 128 before writing results.txt)\n"
+            + "\n".join(metric_lines) + "\n"
+        )
 
     rec = {
         "side": side,
