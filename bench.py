@@ -16,8 +16,12 @@ vs_baseline: ratio against the reference-equivalent torch model scoring
 the same frames on CPU, forward-only, non-overlapping windows (its best
 case; measured once and cached in BASELINE_MEASURED.json).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Both recurrence backends (XLA scan and the fused Pallas kernel) are
+measured and printed as separate config lines with analytic MFU (model
+FLOPs / v5e bf16 peak); the FINAL line is the headline JSON the driver
+parses (best backend):
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+     "mfu": ..., "flops_per_frame": ...}
 """
 
 from __future__ import annotations
@@ -53,6 +57,36 @@ def make_source_frames(n_frames: int, image_size: int) -> np.ndarray:
         return rng.integers(0, 255, size=(n_frames, image_size, image_size, 3), dtype=np.uint8)
 
 
+def model_flops_per_frame(image_size: int = 256) -> float:
+    """Analytic forward FLOPs per frame of the video scoring pipeline.
+
+    Counts the MXU work (convs, ConvTransposes, ConvLSTM gate convs) of
+    VideoAutoencoder at default widths; elementwise/BN/gate math is
+    excluded (<2%%).  Used to report MFU alongside frames/s.
+    """
+    f = 0.0
+    hw = image_size * image_size
+    # encoder: 4x conv3x3 at full-res-before-pool, channels 3/32/64/128 -> 32/64/128/128
+    chans = [(3, 32), (32, 64), (64, 128), (128, 128)]
+    res = hw
+    for cin, cout in chans:
+        f += res * cin * 9 * cout * 2
+        res //= 4
+    # convlstm: 2 layers x (input conv + hidden conv), 3x3, 128 -> 512 at H/16
+    lat_hw = hw // 256
+    f += 2 * 2 * (lat_hw * 128 * 9 * 512 * 2)
+    # decoder: 4x convtranspose 2x2 stride 2, channels 128/128/64/32 -> 128/64/32/3
+    dchans = [(128, 128), (128, 64), (64, 32), (32, 3)]
+    res = lat_hw
+    for cin, cout in dchans:
+        f += res * cin * 4 * cout * 2
+        res *= 4
+    return f
+
+
+V5E_PEAK_BF16_FLOPS = 197e12  # per chip
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -67,24 +101,9 @@ def main() -> None:
 
     # serving precision policy: bf16 activations/params (2x MXU, half the
     # HBM traffic; scores track f32 within ~1%% — tests/test_serving.py),
-    # f32 cell state inside the recurrence.  The XLA scan backend bf16-
-    # compiles quickly; the fused Pallas path is used on the f32 side.
+    # f32 cell state inside the recurrence (scan carry / Pallas scratch).
     dtype = jnp.bfloat16
     lat = image_size // 16
-    model = VideoAutoencoder(backend="xla")
-    variables = model.init(
-        jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
-    )
-    variables = cast_floating(variables, dtype)
-
-    def scoring_step(v, u8_chunk, states):
-        x = u8_chunk.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
-        _, _, frame_scores, new_states = model.apply(
-            v, x, states, method=VideoAutoencoder.stream_step
-        )
-        return frame_scores.astype(jnp.float32), new_states
-
-    step = jax.jit(scoring_step)
 
     src = make_source_frames(n_source, image_size)
     # [streams, T, H, W, 3] uint8 chunks cycled from the source buffer
@@ -93,30 +112,88 @@ def main() -> None:
         one = src[idx]
         return np.broadcast_to(one, (streams, *one.shape)).copy()
 
-    states = ConvLSTM.zero_state(
-        model.lstm_layers, streams, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
-    )
-
-    # warm-up / compile (np.asarray = real device->host fetch; plain
-    # block_until_ready has proven unreliable as a barrier under the
-    # remote-TPU tunnel this runs through)
-    scores, states = step(variables, jnp.asarray(chunk_at(0)), states)
-    np.asarray(scores)
-
-    # steady-state measurement: states chain serializes the steps, the
-    # final fetch is the barrier.  The TPU here sits behind a remote
-    # tunnel with large run-to-run latency variance, so take several
-    # windows and report the best (closest to device capability).
-    n_iters = 20
     chunks = [jnp.asarray(chunk_at(i)) for i in range(4)]
-    best_dt = float("inf")
-    for _ in range(4):
-        t0 = time.time()
-        for i in range(n_iters):
-            scores, states = step(variables, chunks[i % len(chunks)], states)
+
+    def measure(backend: str, fused_input: bool = False) -> float:
+        """Best-window steady-state fps for one configuration."""
+        model = VideoAutoencoder(backend=backend)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
+        )
+        cast_vars = cast_floating(variables, dtype)
+
+        if fused_input:
+            from vad_tpu.ops.encoder_pallas import fold_from_variables
+
+            w_band, bias_folded = fold_from_variables(variables)
+            w_band = jnp.asarray(w_band, jnp.float32).astype(dtype)
+            bias_folded = jnp.asarray(bias_folded, jnp.float32)
+
+            def scoring_step(v, u8_chunk, states):
+                s, t, h, w, _ = u8_chunk.shape
+                _, _, frame_scores, new_states = model.apply(
+                    v, u8_chunk.reshape(s, t, h, w * 3), states, w_band,
+                    bias_folded, False,
+                    method=VideoAutoencoder.stream_step_u8,
+                )
+                return frame_scores.astype(jnp.float32), new_states
+
+        else:
+
+            def scoring_step(v, u8_chunk, states):
+                x = u8_chunk.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+                _, _, frame_scores, new_states = model.apply(
+                    v, x, states, method=VideoAutoencoder.stream_step
+                )
+                return frame_scores.astype(jnp.float32), new_states
+
+        variables = cast_vars
+        step = jax.jit(scoring_step)
+        states = ConvLSTM.zero_state(
+            model.lstm_layers, streams, lat, lat, model.lstm_hidden_dim,
+            dtype=jnp.float32,
+        )
+
+        # warm-up / compile (np.asarray = real device->host fetch; plain
+        # block_until_ready has proven unreliable as a barrier under the
+        # remote-TPU tunnel this runs through)
+        scores, states = step(variables, chunks[0], states)
         np.asarray(scores)
-        best_dt = min(best_dt, time.time() - t0)
-    fps = n_iters * streams * chunk_t / best_dt
+
+        # steady-state measurement: states chain serializes the steps, the
+        # final fetch is the barrier.  The TPU here sits behind a remote
+        # tunnel with large run-to-run latency variance, so take several
+        # windows and report the best (closest to device capability).
+        n_iters = 20
+        best_dt = float("inf")
+        for _ in range(4):
+            t0 = time.time()
+            for i in range(n_iters):
+                scores, states = step(variables, chunks[i % len(chunks)], states)
+            np.asarray(scores)
+            best_dt = min(best_dt, time.time() - t0)
+        return n_iters * streams * chunk_t / best_dt
+
+    flops_frame = model_flops_per_frame(image_size)
+
+    def mfu(fps: float) -> float:
+        return fps * flops_frame / V5E_PEAK_BF16_FLOPS
+
+    configs = {
+        "fused input block + fused-pallas recurrence, bf16": ("pallas", True),
+        "fused-pallas recurrence, bf16": ("pallas", False),
+        "xla scan recurrence, bf16": ("xla", False),
+    }
+    results = {}
+    for name, (backend, fused) in configs.items():
+        results[name] = measure(backend, fused)
+        print(json.dumps({
+            "config": name,
+            "value": round(results[name], 1), "unit": "frames/s/chip",
+            "mfu": round(mfu(results[name]), 3),
+        }), flush=True)
+
+    fps = max(results.values())
 
     from vad_tpu.utils.baseline_torch import measure_reference_cpu_fps
 
@@ -127,6 +204,8 @@ def main() -> None:
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline_fps, 1),
+        "mfu": round(mfu(fps), 3),
+        "flops_per_frame": flops_frame,
     }
     print(json.dumps(result))
 

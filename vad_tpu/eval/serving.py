@@ -43,7 +43,14 @@ class MultiStreamScorer:
         image_size: int = 256,
         return_maps: bool = False,
         dtype=jnp.float32,
+        fused_input: Optional[bool] = None,
     ) -> None:
+        """``fused_input``: run normalize+conv1+BN+LeakyReLU+pool as the
+        fused Pallas kernel on raw bytes (ops/encoder_pallas.py).
+        Measured throughput-neutral on v5e (see that module's docstring),
+        so the default is OFF; exposed for tracking and for TPU
+        generations where the layout-handoff tradeoff differs.  Requires
+        TPU, W*3 %% 96 == 0 and even H."""
         from vad_tpu.utils.precision import cast_floating
 
         self.model = model
@@ -53,6 +60,15 @@ class MultiStreamScorer:
         self.image_size = image_size
         self.return_maps = return_maps
         self.dtype = dtype
+        if fused_input is None:
+            fused_input = False
+        self.fused_input = fused_input
+        if fused_input:
+            from vad_tpu.ops.encoder_pallas import fold_from_variables
+
+            w_band, bias_folded = fold_from_variables(variables)
+            self._w_band = jnp.asarray(w_band, jnp.float32).astype(dtype)
+            self._bias_folded = jnp.asarray(bias_folded, jnp.float32)
         lat = image_size // 16
         # the carried ConvLSTM state stays f32 even under a bf16 policy —
         # it integrates across the whole stream (utils/precision.py); the
@@ -63,14 +79,29 @@ class MultiStreamScorer:
         self.states = self._zero_state
         self._active = np.zeros(num_slots, dtype=bool)
 
-        def step(v, u8, states):
-            x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
-            recon, err, scores, new_states = model.apply(
-                v, x, states, method=VideoAutoencoder.stream_step
-            )
-            if return_maps:
-                return scores.astype(jnp.float32), err.astype(jnp.float32), new_states
-            return scores.astype(jnp.float32), None, new_states
+        if fused_input:
+
+            def step(v, u8, states):
+                s, t, h, w, _ = u8.shape
+                _, err, scores, new_states = model.apply(
+                    v, u8.reshape(s, t, h, w * 3), states, self._w_band,
+                    self._bias_folded, return_maps,
+                    method=VideoAutoencoder.stream_step_u8,
+                )
+                if return_maps:
+                    return scores.astype(jnp.float32), err.astype(jnp.float32), new_states
+                return scores.astype(jnp.float32), None, new_states
+
+        else:
+
+            def step(v, u8, states):
+                x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+                recon, err, scores, new_states = model.apply(
+                    v, x, states, method=VideoAutoencoder.stream_step
+                )
+                if return_maps:
+                    return scores.astype(jnp.float32), err.astype(jnp.float32), new_states
+                return scores.astype(jnp.float32), None, new_states
 
         self._step = jax.jit(step)
 

@@ -148,11 +148,15 @@ class ConvLSTMLayer(nn.Module):
         if self.backend == "pallas":
             from vad_tpu.ops.convlstm_pallas import convlstm_recurrence_pallas
 
+            # state enters and leaves in f32 even under a bf16 policy (the
+            # kernel keeps (h, c) in f32 scratch and emits f32 finals), so
+            # streaming chunks carry cell state without boundary rounding —
+            # mirroring the scan path below.
             if initial_state is None:
-                h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), x_seq.dtype)
+                h0 = jnp.zeros((b, hgt, wid, self.hidden_dim), jnp.float32)
                 c0 = jnp.zeros_like(h0)
             else:
-                h0, c0 = (s.astype(x_seq.dtype) for s in initial_state)
+                h0, c0 = (s.astype(jnp.float32) for s in initial_state)
             h_seq, final = convlstm_recurrence_pallas(gates_x, w_h, h0, c0)
             return (h_seq, final) if return_state else h_seq
 
@@ -232,15 +236,27 @@ class VideoEncoder(nn.Module):
     latent_dim: int = 128
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, *, skip_first_block: bool = False
+    ) -> jnp.ndarray:
+        """``skip_first_block``: ``x`` is already the first block's pooled
+        32-channel output (produced by the fused Pallas input kernel,
+        ops/encoder_pallas.py) — run blocks 2-4 only.  Module names are
+        pinned explicitly so both entry points address the same params."""
         seq_shape = None
         if x.ndim == 5:
             b, t = x.shape[:2]
             seq_shape = (b, t)
             x = x.reshape(b * t, *x.shape[2:])
-        for w in (32, 64, 128, self.latent_dim):
-            x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=conv_init)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        for i, w in enumerate((32, 64, 128, self.latent_dim)):
+            if i == 0 and skip_first_block:
+                continue
+            x = nn.Conv(
+                w, (3, 3), padding="SAME", kernel_init=conv_init, name=f"Conv_{i}"
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"BatchNorm_{i}"
+            )(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         if seq_shape is not None:
@@ -336,6 +352,56 @@ class VideoAutoencoder(nn.Module):
         recon = self.decoder(z, False)
         err = jnp.mean(jnp.square(x - recon), axis=-1)
         return recon, err, jnp.mean(err, axis=(2, 3)), new_states
+
+    def stream_step_u8(
+        self,
+        u8_flat: jnp.ndarray,
+        states,
+        w_band: jnp.ndarray,
+        bias_folded: jnp.ndarray,
+        compute_err_map: bool = True,
+    ):
+        """``stream_step`` on RAW interleaved-RGB bytes (serving fast path).
+
+        Args:
+            u8_flat: [B, T, H, W*3] uint8 — NHWC frame bytes viewed flat
+                (``arr.reshape(B, T, H, W*3)``, no data movement).  The
+                flat view keeps every tensor 128-lane-aligned: a
+                materialized [..., 3] tensor costs 42x its logical size
+                in HBM traffic on TPU.
+            states: per-layer (h, c) as in ``stream_step``.
+            w_band, bias_folded: first-block weights from
+                ops/encoder_pallas.fold_first_block_params(...) — input
+                normalization + conv1 + BatchNorm folded together.
+            compute_err_map: when False, the per-pixel error map output
+                is None (saves one full-frame pass when only frame
+                scores are consumed, e.g. bench.py).
+
+        Returns (recon_flat [B,T,H,W*3], err_map or None, frame_scores,
+        new_states); scores match ``stream_step`` to bf16 tolerance.
+        """
+        from vad_tpu.ops.encoder_pallas import fused_first_block
+
+        b, t, h, w3 = u8_flat.shape
+        dtype = w_band.dtype if jnp.issubdtype(w_band.dtype, jnp.floating) else jnp.float32
+        z1 = fused_first_block(
+            u8_flat.reshape(b * t, h, w3), w_band, bias_folded, out_dtype=dtype
+        )
+        z = self.encoder(
+            z1.reshape(b, t, *z1.shape[1:]), False, skip_first_block=True
+        )
+        z, new_states = self.convlstm(z, initial_states=states, return_state=True)
+        if self.lstm_hidden_dim != self.latent_dim:
+            z = self.proj(z)
+        recon = self.decoder(z, False)
+        xf = u8_flat.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+        rf = recon.reshape(b, t, h, w3)
+        sq = jnp.square(xf - rf)
+        frame_scores = jnp.mean(sq, axis=(2, 3))  # mean over H, W*3 == frame mean
+        err = None
+        if compute_err_map:
+            err = jnp.mean(sq.reshape(b, t, h, w3 // 3, 3), axis=-1)
+        return rf, err, frame_scores, new_states
 
     def error_map(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-pixel, per-frame anomaly map [B, T, H, W]."""

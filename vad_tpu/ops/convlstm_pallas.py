@@ -211,8 +211,10 @@ def _run_serving_forward(gates_x, w_h, h0, c0):
         out_specs=[bt_block(channels), b_block(channels), b_block(channels)],
         out_shape=[
             jax.ShapeDtypeStruct((b, t, hw, channels), gates_x.dtype),
-            jax.ShapeDtypeStruct((b, hw, channels), gates_x.dtype),
-            jax.ShapeDtypeStruct((b, hw, channels), gates_x.dtype),
+            # final (h, c) stay f32 so streaming callers can carry cell
+            # state across chunks without bf16 truncation at boundaries
+            jax.ShapeDtypeStruct((b, hw, channels), jnp.float32),
+            jax.ShapeDtypeStruct((b, hw, channels), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((b_tile * hw, channels), jnp.float32),
@@ -606,16 +608,23 @@ def convlstm_recurrence_pallas(
 
 def _fwd(gates_x, w_h, h0, c0):
     h_seq, c_seq, hf, cf = _run_forward(gates_x, w_h, h0, c0, with_cell_seq=True)
-    return (h_seq, (hf, cf)), (gates_x, w_h, h0, c0, h_seq, c_seq)
+    # final-state dtype must match the primal (f32 finals; see
+    # _run_serving_forward out_shape)
+    return (h_seq, (hf.astype(jnp.float32), cf.astype(jnp.float32))), (
+        gates_x, w_h, h0, c0, h_seq, c_seq,
+    )
 
 
 def _bwd(residuals, cotangents):
     gates_x, w_h, h0, c0, h_seq, c_seq = residuals
     dh_seq, (dhf, dcf) = cotangents
     dgates_x, dw, dh0, dc0 = _run_backward(
-        gates_x, w_h, h0, c0, h_seq, c_seq, dh_seq, dhf, dcf
+        gates_x, w_h, h0, c0, h_seq, c_seq,
+        dh_seq, dhf.astype(gates_x.dtype), dcf.astype(gates_x.dtype),
     )
-    return dgates_x, dw, dh0, dc0
+    # cotangents must mirror the primal input dtypes (h0/c0 may be f32
+    # while gates are bf16)
+    return dgates_x, dw, dh0.astype(h0.dtype), dc0.astype(c0.dtype)
 
 
 convlstm_recurrence_pallas.defvjp(_fwd, _bwd)
