@@ -254,6 +254,9 @@ def render(summary: dict, dest: Path) -> None:
         "tunnel. Raw results.txt files from both sides are committed next to",
         "this file. Caveats: the reference has no seeding (its numbers vary",
         "run to run); fixtures are synthetic, not MVTec.",
+        "",
+        "Run-to-run variance for both sides and a train-vs-eval decomposition",
+        "via checkpoint interop are in [VARIANCE.md](VARIANCE.md).",
     ]
     dest.mkdir(parents=True, exist_ok=True)
     (dest / "README.md").write_text("\n".join(lines) + "\n")
