@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint to resume training from")
     parser.add_argument("--seed", type=int, default=0, help="Init PRNG seed")
+    parser.add_argument("--norm", type=str, default="batch", choices=["batch", "group"],
+                        help="Normalization: batch (reference parity) or group "
+                             "(per-sample stats; immune to padded small batches)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="Raise on the first NaN produced on device")
     parser.add_argument("--profile-dir", type=str, default=None,

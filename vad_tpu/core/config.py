@@ -28,6 +28,7 @@ class ImageAEConfig:
     in_channels: int = 3
     latent_dim: int = 256
     image_size: int = 256
+    norm: str = "batch"  # 'group': per-sample stats (models/norms.py)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -38,6 +39,7 @@ class ImageAEConfig:
             in_channels=int(args.get("in_channels", 3)),
             latent_dim=int(args.get("latent_dim", 256)),
             image_size=int(args.get("image_size", 256)),
+            norm=str(args.get("norm", "batch")),
         )
 
 
@@ -57,6 +59,7 @@ class VideoAEConfig:
     lstm_layers: int = 2
     image_size: int = 256
     sequence_length: int = 16
+    norm: str = "batch"  # 'group': per-sample stats (models/norms.py)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -70,4 +73,5 @@ class VideoAEConfig:
             lstm_layers=int(args.get("lstm_layers", 2)),
             image_size=int(args.get("image_size", 256)),
             sequence_length=int(args.get("sequence_length", 16)),
+            norm=str(args.get("norm", "batch")),
         )

@@ -36,8 +36,10 @@ def load_image_model(checkpoint_path: str | Path) -> Tuple[ConvAutoencoder, Dict
     ckpt = load_checkpoint(checkpoint_path)
     train_args = ckpt.get("args", {})
     cfg = ImageAEConfig.from_args(train_args)
-    model = ConvAutoencoder(in_channels=cfg.in_channels, latent_dim=cfg.latent_dim)
-    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    model = ConvAutoencoder(
+        in_channels=cfg.in_channels, latent_dim=cfg.latent_dim, norm=cfg.norm
+    )
+    variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     epoch = ckpt.get("epoch", "unknown")
     print(f"Loaded model from epoch {epoch}")
     if ckpt.get("train_loss") is not None:

@@ -62,8 +62,9 @@ def load_video_model(checkpoint_path: str | Path) -> Tuple[VideoAutoencoder, Dic
         lstm_hidden_dim=cfg.lstm_hidden_dim,
         lstm_layers=cfg.lstm_layers,
         backend=preferred_backend(lat, lat, cfg.lstm_hidden_dim),
+        norm=cfg.norm,
     )
-    variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     print(f"Loaded model from epoch {ckpt.get('epoch', 'unknown')}")
     print(f"Training loss: {ckpt.get('train_loss', 0) or 0:.6f}")
     return model, variables, saved

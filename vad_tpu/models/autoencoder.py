@@ -23,6 +23,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vad_tpu.models.norms import make_norm
+
 # Xavier/Glorot normal for conv kernels, zeros for bias — matches the
 # reference init policy (autoencoder.py:170-179).  JAX computes conv fan-in
 # as in_channels * receptive_field, same as torch.
@@ -36,12 +38,13 @@ class EncoderBlock(nn.Module):
     """
 
     features: int
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = make_norm(self.norm, train)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         return nn.max_pool(x, (2, 2), strides=(2, 2))
 
@@ -54,6 +57,7 @@ class Encoder(nn.Module):
     """
 
     latent_dim: int = 256
+    norm: str = "batch"
 
     @property
     def widths(self) -> Sequence[int]:
@@ -62,7 +66,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for w in self.widths:
-            x = EncoderBlock(w)(x, train)
+            x = EncoderBlock(w, self.norm)(x, train)
         return x
 
 
@@ -73,16 +77,17 @@ class DecoderBlock(nn.Module):
     """
 
     features: int
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.ConvTranspose(
             self.features, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = make_norm(self.norm, train)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = make_norm(self.norm, train)(x)
         return nn.relu(x)
 
 
@@ -96,15 +101,16 @@ class Decoder(nn.Module):
 
     out_channels: int = 3
     latent_dim: int = 256
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for w in (128, 64, 32):
-            x = DecoderBlock(w)(x, train)
+            x = DecoderBlock(w, self.norm)(x, train)
         # Final block: upsample to full resolution, project to image
         # channels, squash to the input range.
         x = nn.ConvTranspose(32, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = make_norm(self.norm, train)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", kernel_init=conv_init)(x)
         return jnp.tanh(x)
@@ -120,10 +126,11 @@ class ConvAutoencoder(nn.Module):
 
     in_channels: int = 3
     latent_dim: int = 256
+    norm: str = "batch"  # 'group' = per-sample stats (models/norms.py)
 
     def setup(self) -> None:
-        self.encoder = Encoder(self.latent_dim)
-        self.decoder = Decoder(self.in_channels, self.latent_dim)
+        self.encoder = Encoder(self.latent_dim, self.norm)
+        self.decoder = Decoder(self.in_channels, self.latent_dim, self.norm)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return self.decoder(self.encoder(x, train), train)

@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vad_tpu.models.norms import make_norm
+
 conv_init = nn.initializers.xavier_normal()
 
 
@@ -234,6 +236,7 @@ class VideoEncoder(nn.Module):
     """
 
     latent_dim: int = 128
+    norm: str = "batch"
 
     @nn.compact
     def __call__(
@@ -254,9 +257,8 @@ class VideoEncoder(nn.Module):
             x = nn.Conv(
                 w, (3, 3), padding="SAME", kernel_init=conv_init, name=f"Conv_{i}"
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name=f"BatchNorm_{i}"
-            )(x)
+            norm_name = ("BatchNorm" if self.norm == "batch" else "GroupNorm") + f"_{i}"
+            x = make_norm(self.norm, train, name=norm_name)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         if seq_shape is not None:
@@ -272,6 +274,7 @@ class VideoDecoder(nn.Module):
     """
 
     out_channels: int = 3
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -282,7 +285,7 @@ class VideoDecoder(nn.Module):
             x = x.reshape(b * t, *x.shape[2:])
         for w in (128, 64, 32):
             x = nn.ConvTranspose(w, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = make_norm(self.norm, train)(x)
             x = nn.relu(x)
         x = nn.ConvTranspose(
             self.out_channels, (2, 2), strides=(2, 2), padding="VALID", kernel_init=conv_init
@@ -307,9 +310,10 @@ class VideoAutoencoder(nn.Module):
     lstm_layers: int = 2
     backend: str = "xla"
     remat: bool = False
+    norm: str = "batch"  # 'group' = per-sample stats (models/norms.py)
 
     def setup(self) -> None:
-        self.encoder = VideoEncoder(self.latent_dim)
+        self.encoder = VideoEncoder(self.latent_dim, self.norm)
         self.convlstm = ConvLSTM(
             input_dim=self.latent_dim,
             hidden_dim=self.lstm_hidden_dim,
@@ -319,7 +323,7 @@ class VideoAutoencoder(nn.Module):
         )
         if self.lstm_hidden_dim != self.latent_dim:
             self.proj = nn.Conv(self.latent_dim, (1, 1), kernel_init=conv_init)
-        self.decoder = VideoDecoder(self.in_channels)
+        self.decoder = VideoDecoder(self.in_channels, self.norm)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """[B, T, H, W, C] -> reconstructed [B, T, H, W, C]."""

@@ -114,6 +114,11 @@ def fold_first_block_params(
 def fold_from_variables(variables, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
     """fold_first_block_params from a VideoAutoencoder variables dict."""
     p = variables["params"]["encoder"]
+    if "BatchNorm_0" not in p:
+        raise ValueError(
+            "fused input block folds inference BatchNorm into the conv; "
+            "this model was built with norm='group' — use the standard path"
+        )
     b = variables["batch_stats"]["encoder"]
     return fold_first_block_params(
         np.asarray(p["Conv_0"]["kernel"], np.float32),

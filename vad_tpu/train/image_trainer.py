@@ -117,7 +117,10 @@ def train(args: Any) -> Dict[str, Any]:
     )
     test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
 
-    model = ConvAutoencoder(in_channels=3, latent_dim=args.latent_dim)
+    model = ConvAutoencoder(
+        in_channels=3, latent_dim=args.latent_dim,
+        norm=getattr(args, "norm", "batch"),
+    )
     variables = model.init(
         jax.random.key(getattr(args, "seed", 0)),
         jnp.zeros((1, args.image_size, args.image_size, 3)),
@@ -153,7 +156,7 @@ def train(args: Any) -> Dict[str, Any]:
         ckpt = load_checkpoint(resume_path)
         state = state.replace(
             params=ckpt["params"],
-            batch_stats=ckpt["batch_stats"],
+            batch_stats=ckpt.get("batch_stats") or {},
             opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"])
             if ckpt.get("opt_state") is not None
             else state.opt_state,

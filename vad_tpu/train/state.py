@@ -46,7 +46,7 @@ def create_train_state(model, variables, learning_rate: float, weight_decay: flo
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        batch_stats=variables.get("batch_stats"),
+        batch_stats=variables.get("batch_stats") or {},
         tx=make_optimizer(learning_rate, weight_decay),
     )
 

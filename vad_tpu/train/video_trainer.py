@@ -83,6 +83,7 @@ def train(args: Any) -> Dict[str, Any]:
         lstm_layers=args.lstm_layers,
         backend=backend,
         remat=bool(getattr(args, "remat", False)),
+        norm=getattr(args, "norm", "batch"),
     )
     variables = model.init(
         jax.random.key(getattr(args, "seed", 0)),
@@ -131,7 +132,7 @@ def train(args: Any) -> Dict[str, Any]:
         ckpt = load_checkpoint(resume_path)
         state = state.replace(
             params=ckpt["params"],
-            batch_stats=ckpt["batch_stats"],
+            batch_stats=ckpt.get("batch_stats") or {},
             opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"])
             if ckpt.get("opt_state") is not None
             else state.opt_state,
