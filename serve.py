@@ -1,0 +1,49 @@
+"""Multi-stream anomaly-scoring HTTP daemon.
+
+Beyond-reference serving CLI (the reference's only serving surface is the
+Gradio UI's one-shot callbacks, main.py:262-403): a REST front over the
+batched state-carrying scoring path.  See vad_tpu/eval/http_server.py
+for the protocol.
+
+    python serve.py --checkpoint results/video_S01_.../best_model.ckpt \
+        --port 8600 --slots 16 --chunk 16
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Serve a video anomaly model over HTTP")
+    p.add_argument("--checkpoint", type=str, required=True, help="Video model checkpoint")
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--slots", type=int, default=16, help="Parallel stream capacity")
+    p.add_argument("--chunk", type=int, default=16, help="Frames per scoring request")
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"],
+                   help="Serving precision policy")
+    p.add_argument("--fused-input", action="store_true",
+                   help="Use the fused Pallas input block (see ops/encoder_pallas.py)")
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    from vad_tpu.eval.http_server import serve_from_checkpoint
+
+    server = serve_from_checkpoint(
+        args.checkpoint, args.host, args.port, args.slots, args.chunk,
+        args.dtype, fused_input=args.fused_input or None,
+    )
+    h = server.service.health()
+    print(f"Serving {args.checkpoint} on {args.host}:{server.port} "
+          f"({h['num_slots']} slots x {h['chunk']}-frame chunks, {h['dtype']})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Multi-stream anomaly-scoring HTTP daemon (production serving front).
+
+A stdlib-only (http.server) REST front over `MultiStreamScorer`: clients
+attach a stream slot, POST raw uint8 frame chunks, and receive per-frame
+anomaly scores.  Requests from different streams are COALESCED into one
+batched TPU step — the device always sees the full [num_slots, chunk,
+H, W, 3] batch, so per-chip throughput matches bench.py's multi-stream
+configuration instead of degrading to one-stream-at-a-time latency.
+
+The reference has no serving story at all (its closest analogue is the
+Gradio UI's one-shot analyze callbacks, main.py:262-403); this daemon is
+a beyond-reference component built around the framework's state-carrying
+scoring path.
+
+Protocol (JSON unless noted):
+    POST   /v1/streams                 -> {"slot": N}
+    DELETE /v1/streams/<slot>          -> {"detached": N}
+    POST   /v1/streams/<slot>/frames   body = raw u8 bytes, header
+           X-Frames-Shape: "T,H,W,3"   -> {"scores": [T floats], ...}
+    GET    /v1/health                  -> config + live slot map
+
+Frames POSTs block until the coalescing scorer thread has run their
+chunk (bounded micro-batch latency: the tick runs as soon as any request
+is pending and the device is free).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class ScoringService:
+    """Thread-safe coalescing wrapper around MultiStreamScorer."""
+
+    def __init__(self, scorer) -> None:
+        self.scorer = scorer
+        self._lock = threading.Lock()
+        self._pending: Dict[int, tuple[np.ndarray, Future]] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- slots
+
+    def attach(self, slot: Optional[int] = None) -> int:
+        with self._lock:
+            return self.scorer.attach(slot)
+
+    def detach(self, slot: int) -> None:
+        with self._lock:
+            self.scorer.detach(slot)
+            pend = self._pending.pop(slot, None)
+        if pend is not None:
+            pend[1].set_exception(RuntimeError(f"slot {slot} detached"))
+
+    # ------------------------------------------------------------- score
+
+    def submit(self, slot: int, frames: np.ndarray) -> Future:
+        """Queue one chunk for ``slot``; resolves to its [chunk] scores."""
+        s = self.scorer
+        expect = (s.chunk, s.image_size, s.image_size, 3)
+        if frames.shape != expect or frames.dtype != np.uint8:
+            raise ValueError(f"expected uint8 {expect}, got {frames.dtype} {frames.shape}")
+        fut: Future = Future()
+        with self._lock:
+            if not s._active[slot]:
+                raise KeyError(f"slot {slot} not attached")
+            if slot in self._pending:
+                raise RuntimeError(f"slot {slot} already has a chunk in flight")
+            self._pending[slot] = (frames, fut)
+        self._wake.set()
+        return fut
+
+    def _loop(self) -> None:
+        s = self.scorer
+        while True:
+            self._wake.wait()
+            with self._lock:
+                if self._stop:
+                    return
+                batch_items = dict(self._pending)
+                self._pending.clear()
+                self._wake.clear()
+            if not batch_items:
+                continue
+            batch = np.zeros(
+                (s.num_slots, s.chunk, s.image_size, s.image_size, 3), np.uint8
+            )
+            for slot, (frames, _) in batch_items.items():
+                batch[slot] = frames
+            try:
+                out = s.score_chunk(batch)
+                scores = out[0] if isinstance(out, tuple) else out
+                for slot, (_, fut) in batch_items.items():
+                    fut.set_result(np.asarray(scores[slot], np.float64))
+            except Exception as exc:  # pragma: no cover - device failure path
+                for _, fut in batch_items.values():
+                    fut.set_exception(exc)
+
+    def close(self) -> None:
+        with self._lock:
+            self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    def health(self) -> dict:
+        s = self.scorer
+        return {
+            "num_slots": s.num_slots,
+            "chunk": s.chunk,
+            "image_size": s.image_size,
+            "dtype": str(s.dtype),
+            "fused_input": bool(getattr(s, "fused_input", False)),
+            "active_slots": [int(i) for i in s.active_slots],
+        }
+
+
+def _make_handler(service: ScoringService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args) -> None:  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:
+            if self.path == "/v1/health":
+                self._json(200, service.health())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self) -> None:
+            try:
+                if self.path == "/v1/streams":
+                    self._json(200, {"slot": service.attach()})
+                    return
+                parts = self.path.strip("/").split("/")
+                if len(parts) == 4 and parts[:2] == ["v1", "streams"] and parts[3] == "frames":
+                    slot = int(parts[2])
+                    shape = tuple(
+                        int(v) for v in self.headers.get("X-Frames-Shape", "").split(",")
+                    )
+                    n = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(n)
+                    frames = np.frombuffer(raw, np.uint8).reshape(shape)
+                    # generous bound: the first-ever chunk pays the jit
+                    # compile (minutes on a cold cache); steady state is ms
+                    scores = service.submit(slot, frames).result(timeout=600)
+                    self._json(200, {"slot": slot, "scores": list(scores)})
+                    return
+                self._json(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, RuntimeError) as exc:
+                self._json(400, {"error": str(exc)})
+            except TimeoutError:
+                self._json(504, {"error": "scoring timed out"})
+
+        def do_DELETE(self) -> None:
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 3 and parts[:2] == ["v1", "streams"]:
+                slot = int(parts[2])
+                service.detach(slot)
+                self._json(200, {"detached": slot})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+    return Handler
+
+
+class ScoringServer:
+    """HTTP server wrapper; ``port=0`` binds an ephemeral port (tests)."""
+
+    def __init__(self, scorer, host: str = "0.0.0.0", port: int = 8600) -> None:
+        self.service = ScoringService(scorer)
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.service))
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start_background(self) -> None:
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.service.close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve_from_checkpoint(
+    checkpoint: str,
+    host: str = "0.0.0.0",
+    port: int = 8600,
+    num_slots: int = 16,
+    chunk: int = 16,
+    dtype: str = "bfloat16",
+    fused_input: Optional[bool] = None,
+) -> ScoringServer:
+    """Build a ScoringServer from a video checkpoint (ours or imported)."""
+    import jax.numpy as jnp
+
+    from vad_tpu.core.config import VideoAEConfig
+    from vad_tpu.eval.serving import MultiStreamScorer
+    from vad_tpu.models.video_autoencoder import VideoAutoencoder
+    from vad_tpu.ops.convlstm_pallas import preferred_backend
+    from vad_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(checkpoint)
+    cfg = VideoAEConfig.from_args(ckpt.get("args", {}))
+    lat = cfg.image_size // 16
+
+    model = VideoAutoencoder(
+        in_channels=cfg.in_channels,
+        latent_dim=cfg.latent_dim,
+        lstm_hidden_dim=cfg.lstm_hidden_dim,
+        lstm_layers=cfg.lstm_layers,
+        backend=preferred_backend(lat, lat, cfg.lstm_hidden_dim),
+        norm=cfg.norm,
+    )
+    variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+    scorer = MultiStreamScorer(
+        model, variables, num_slots=num_slots, chunk=chunk,
+        image_size=cfg.image_size, dtype=getattr(jnp, dtype), fused_input=fused_input,
+    )
+    # pay the jit compile before accepting traffic
+    print("warming up (first compile)...", flush=True)
+    warm = np.zeros((num_slots, chunk, cfg.image_size, cfg.image_size, 3), np.uint8)
+    scorer.score_chunk(warm)
+    return ScoringServer(scorer, host, port)
