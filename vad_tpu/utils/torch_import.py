@@ -200,6 +200,11 @@ def _export_bn(params: Mapping, stats: Mapping, prefix: str, out: dict) -> None:
 
 def export_image_state_dict(params: Mapping, stats: Mapping) -> dict:
     """(params, batch_stats) -> reference-named torch state_dict arrays."""
+    if not stats:
+        raise ValueError(
+            "checkpoint has no batch_stats — models trained with "
+            "--norm group cannot map onto the reference's BatchNorm layers"
+        )
     out: dict = {}
     for i in range(4):
         blk_p = params["encoder"][f"EncoderBlock_{i}"]
@@ -241,6 +246,11 @@ def export_video_state_dict(params: Mapping, stats: Mapping) -> dict:
     convlstm.cells.K.conv, optional proj, decoder.decoder.N), so the
     result loads with ``strict=True`` into the reference VideoAutoencoder.
     """
+    if not stats:
+        raise ValueError(
+            "checkpoint has no batch_stats — models trained with "
+            "--norm group cannot map onto the reference's BatchNorm layers"
+        )
     out: dict = {}
     for i in range(4):
         out[f"encoder.encoder.{4 * i}.weight"] = _conv_kernel_to_torch(
