@@ -66,6 +66,30 @@ def test_video_groupnorm_forward_and_stream():
     assert count == count_b
 
 
+def test_video_groupnorm_train_step():
+    """One real jitted train step on the video model with GroupNorm: the
+    empty batch_stats collection must flow through make_train_step's
+    mutable=['batch_stats'] machinery unchanged."""
+    from vad_tpu.ops.losses import mse_per_sample
+    from vad_tpu.train.state import create_train_state
+    from vad_tpu.train.steps import make_train_step
+
+    model = VideoAutoencoder(norm="group")
+    x = np.random.default_rng(0).normal(size=(2, 2, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 32, 32, 3)), train=False)
+    state = create_train_state(model, variables, learning_rate=1e-4)
+    assert state.batch_stats == {}
+    before = jax.tree.map(np.asarray, state.params)  # state is donated below
+    step = make_train_step(mse_per_sample)
+    state2, loss = step(state, jnp.asarray(x), jnp.asarray(2))
+    assert np.isfinite(float(loss))
+    assert state2.batch_stats == {}
+    # params actually moved
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(b) - a).max()),
+                     before, state2.params)
+    assert max(jax.tree.leaves(d)) > 0
+
+
 def test_groupnorm_e2e_image_training(tmp_path):
     """Tiny end-to-end: --norm group trains, checkpoints, and evaluates
     through the real CLI arg surface."""
