@@ -112,4 +112,44 @@ def test_error_paths(server):
         server, a["slot"], np.zeros((CHUNK + 1, SIZE, SIZE, 3), np.uint8)
     )
     assert status == 400  # wrong shape
+    status, _ = _post_frames(server, 999, np.zeros((CHUNK, SIZE, SIZE, 3), np.uint8))
+    assert status == 400  # out of range -> 400, not a dropped connection
+    status, _ = _post_frames(server, -1, np.zeros((CHUNK, SIZE, SIZE, 3), np.uint8))
+    assert status == 400  # negative must not wrap to the last slot
+    status, _ = _req(server, "DELETE", "/v1/streams/999")
+    assert status == 400
+    status, _ = _req(server, "DELETE", "/v1/streams/abc")
+    assert status == 400
     _req(server, "DELETE", f"/v1/streams/{a['slot']}")
+
+
+def test_idle_slots_keep_their_state(server):
+    """A busy neighbour stream must not advance an idle stream's carried
+    ConvLSTM state with zero-filled frames (regression: the coalescing
+    batch pads non-submitting slots with zeros)."""
+    rng = np.random.default_rng(4)
+    chunk_a = rng.integers(0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8)
+    chunk_b = rng.integers(0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8)
+
+    _, a = _req(server, "POST", "/v1/streams")
+    _, b = _req(server, "POST", "/v1/streams")
+    # B scores a chunk, then sits idle while A ticks several times
+    _, first_b = _post_frames(server, b["slot"], chunk_b)
+    for _ in range(3):
+        _post_frames(server, a["slot"], chunk_a)
+    _, second_b = _post_frames(server, b["slot"], chunk_b)
+
+    # reference: an isolated scorer fed the same two B chunks back to back
+    model = VideoAutoencoder()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    ref = MultiStreamScorer(model, variables, SLOTS, CHUNK, SIZE)
+    rs = ref.attach()
+    batch = np.zeros((SLOTS, CHUNK, SIZE, SIZE, 3), np.uint8)
+    batch[rs] = chunk_b
+    want_first = ref.score_chunk(batch)[rs]
+    want_second = ref.score_chunk(batch)[rs]
+
+    np.testing.assert_allclose(first_b["scores"], want_first, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(second_b["scores"], want_second, rtol=1e-5, atol=1e-6)
+    _req(server, "DELETE", f"/v1/streams/{a['slot']}")
+    _req(server, "DELETE", f"/v1/streams/{b['slot']}")

@@ -140,7 +140,7 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path) -> dict:
     else:
         cwd, ckpt_name = REPO, "best_model.ckpt"
         env = None
-        extra = ["--seed", "0"] if kind == "image" else ["--seed", "0"]
+        extra = ["--seed", "0"]
 
     results_dir = out_dir / side
     results_dir.mkdir(parents=True, exist_ok=True)

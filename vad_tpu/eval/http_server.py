@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import threading
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -40,7 +41,12 @@ class ScoringService:
 
     def __init__(self, scorer) -> None:
         self.scorer = scorer
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # guards _pending / _stop
+        # serializes every mutation of the scorer's carried state: the
+        # batched device step vs. attach/detach slot resets.  Without it
+        # an attach()'s state zeroing can be overwritten by an in-flight
+        # score_chunk whose new_states derive from the pre-reset states.
+        self._scorer_lock = threading.Lock()
         self._pending: Dict[int, tuple[np.ndarray, Future]] = {}
         self._wake = threading.Event()
         self._stop = False
@@ -49,13 +55,24 @@ class ScoringService:
 
     # ------------------------------------------------------------- slots
 
+    def _check_slot(self, slot: int) -> int:
+        if not 0 <= slot < self.scorer.num_slots:
+            raise ValueError(
+                f"slot {slot} out of range [0, {self.scorer.num_slots})"
+            )
+        return slot
+
     def attach(self, slot: Optional[int] = None) -> int:
-        with self._lock:
+        if slot is not None:
+            self._check_slot(slot)
+        with self._scorer_lock:
             return self.scorer.attach(slot)
 
     def detach(self, slot: int) -> None:
-        with self._lock:
+        self._check_slot(slot)
+        with self._scorer_lock:
             self.scorer.detach(slot)
+        with self._lock:
             pend = self._pending.pop(slot, None)
         if pend is not None:
             pend[1].set_exception(RuntimeError(f"slot {slot} detached"))
@@ -65,6 +82,7 @@ class ScoringService:
     def submit(self, slot: int, frames: np.ndarray) -> Future:
         """Queue one chunk for ``slot``; resolves to its [chunk] scores."""
         s = self.scorer
+        self._check_slot(slot)
         expect = (s.chunk, s.image_size, s.image_size, 3)
         if frames.shape != expect or frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 {expect}, got {frames.dtype} {frames.shape}")
@@ -84,6 +102,7 @@ class ScoringService:
             self._wake.wait()
             with self._lock:
                 if self._stop:
+                    self._fail_pending(RuntimeError("server shutting down"))
                     return
                 batch_items = dict(self._pending)
                 self._pending.clear()
@@ -96,7 +115,26 @@ class ScoringService:
             for slot, (frames, _) in batch_items.items():
                 batch[slot] = frames
             try:
-                out = s.score_chunk(batch)
+                with self._scorer_lock:
+                    prev_states = s.states
+                    out = s.score_chunk(batch)
+                    # slots that did NOT submit this tick must not have
+                    # their carried (h, c) advanced by the zero frames the
+                    # batch padded them with — restore their state.
+                    idle = np.asarray(
+                        [i for i in range(s.num_slots) if i not in batch_items],
+                        dtype=np.int32,
+                    )
+                    if idle.size:
+                        s.states = tuple(
+                            (
+                                h_new.at[idle].set(h_old[idle]),
+                                c_new.at[idle].set(c_old[idle]),
+                            )
+                            for (h_new, c_new), (h_old, c_old) in zip(
+                                s.states, prev_states
+                            )
+                        )
                 scores = out[0] if isinstance(out, tuple) else out
                 for slot, (_, fut) in batch_items.items():
                     fut.set_result(np.asarray(scores[slot], np.float64))
@@ -104,9 +142,16 @@ class ScoringService:
                 for _, fut in batch_items.values():
                     fut.set_exception(exc)
 
+    def _fail_pending(self, exc: Exception) -> None:
+        """Caller must hold self._lock."""
+        for _, fut in self._pending.values():
+            fut.set_exception(exc)
+        self._pending.clear()
+
     def close(self) -> None:
         with self._lock:
             self._stop = True
+            self._fail_pending(RuntimeError("server shutting down"))
         self._wake.set()
         self._thread.join(timeout=5)
 
@@ -165,17 +210,21 @@ def _make_handler(service: ScoringService):
                 self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, RuntimeError) as exc:
                 self._json(400, {"error": str(exc)})
-            except TimeoutError:
+            except (TimeoutError, FutureTimeoutError):
+                # FutureTimeoutError is a distinct class on Python 3.10
                 self._json(504, {"error": "scoring timed out"})
 
         def do_DELETE(self) -> None:
-            parts = self.path.strip("/").split("/")
-            if len(parts) == 3 and parts[:2] == ["v1", "streams"]:
-                slot = int(parts[2])
-                service.detach(slot)
-                self._json(200, {"detached": slot})
-            else:
-                self._json(404, {"error": f"unknown path {self.path}"})
+            try:
+                parts = self.path.strip("/").split("/")
+                if len(parts) == 3 and parts[:2] == ["v1", "streams"]:
+                    slot = int(parts[2])
+                    service.detach(slot)
+                    self._json(200, {"detached": slot})
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, RuntimeError) as exc:
+                self._json(400, {"error": str(exc)})
 
     return Handler
 

@@ -37,7 +37,7 @@ padding of 3-channel-minor tensors, which costs 42x in bandwidth):
 - The 3x3 conv is a banded matmul: for each (row-parity a, row-tap dy)
   the kernel assembles X [H/2*G, 102] (32-pixel groups + 1-pixel halo
   on each side, RGB interleaved in lanes) with two sublane rolls and a
-  lane concat, then accumulates X @ W_band [102, 4*C1] on the MXU.
+  lane concat, then accumulates X @ W_band [102, GROUP*C1] on the MXU.
   Weight columns are laid out as (w-parity b, pooled-px p', channel c),
   so the 2x2 maxpool collapses to max of two contiguous lane halves
   (w-pool) and max of the two parity accumulators (h-pool).
@@ -84,10 +84,10 @@ def fold_first_block_params(
     conv(a*u + s) = a*conv(u) + s*sum(W); BN(y) = (y - mu)*g/sqrt(v+eps)+b
     is affine, so the whole block is one conv with rescaled weights on
     RAW uint8 values.  Returns:
-        w_band [3, KLANES, 2*GROUP*C1]: per-dy banded matrix whose row
+        w_band [3, KLANES, GROUP*C1]: per-dy banded matrix whose row
             space is the 34-pixel interleaved window and whose column
             space is (w-parity b, pooled-px p', out-channel c);
-        bias_folded [2*GROUP*C1] broadcast along the same column order.
+        bias_folded [GROUP*C1] broadcast along the same column order.
     """
     kernel = np.asarray(kernel, np.float32)
     c1 = kernel.shape[-1]
@@ -205,8 +205,8 @@ def _first_block_kernel(
 
 def fused_first_block(
     x_flat: jnp.ndarray,  # [F, H, W*3] u8 (flat NHWC bytes)
-    w_band: jnp.ndarray,  # [3, KLANES, 2*GROUP*C1]
-    bias_folded: jnp.ndarray,  # [2*GROUP*C1]
+    w_band: jnp.ndarray,  # [3, KLANES, GROUP*C1]
+    bias_folded: jnp.ndarray,  # [GROUP*C1]
     *,
     c1: int = 32,
     negative_slope: float = 0.2,
