@@ -15,11 +15,13 @@ import argparse
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="Serve a video anomaly model over HTTP")
-    p.add_argument("--checkpoint", type=str, required=True, help="Video model checkpoint")
+    p = argparse.ArgumentParser(description="Serve an anomaly model over HTTP")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Model checkpoint (video -> /v1/streams API, image -> /v1/images)")
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8600)
-    p.add_argument("--slots", type=int, default=16, help="Parallel stream capacity")
+    p.add_argument("--slots", type=int, default=16,
+                   help="Parallel stream capacity (video) / batch capacity (image)")
     p.add_argument("--chunk", type=int, default=16, help="Frames per scoring request")
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"],
                    help="Serving precision policy")
@@ -37,8 +39,11 @@ def main() -> None:
         args.dtype, fused_input=args.fused_input or None,
     )
     h = server.service.health()
-    print(f"Serving {args.checkpoint} on {args.host}:{server.port} "
-          f"({h['num_slots']} slots x {h['chunk']}-frame chunks, {h['dtype']})")
+    if h["model_type"] == "video":
+        desc = f"{h['num_slots']} slots x {h['chunk']}-frame chunks"
+    else:
+        desc = f"image batches up to {h['batch']}"
+    print(f"Serving {args.checkpoint} on {args.host}:{server.port} ({desc}, {h['dtype']})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -123,6 +123,46 @@ def test_error_paths(server):
     _req(server, "DELETE", f"/v1/streams/{a['slot']}")
 
 
+def test_image_model_serving():
+    """Image checkpoints serve statelessly through /v1/images."""
+    from vad_tpu.eval.http_server import ImageScoringService, ScoringServer
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+
+    model = ConvAutoencoder(latent_dim=64)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    service = ImageScoringService(model, variables, SIZE, batch=4, dtype=jnp.float32)
+    srv = ScoringServer(service=service, host="127.0.0.1", port=0)
+    srv.start_background()
+    try:
+        status, h = _req(srv, "GET", "/v1/health")
+        assert status == 200 and h["model_type"] == "image"
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(0, 255, size=(3, SIZE, SIZE, 3), dtype=np.uint8)
+        status, r = _req(srv, "POST", "/v1/images", body=imgs.tobytes(),
+                         headers={"X-Frames-Shape": f"3,{SIZE},{SIZE},3"})
+        assert status == 200 and len(r["scores"]) == 3
+        # parity with a direct apply
+        x = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
+        want = model.apply(variables, x, method=ConvAutoencoder.reconstruction_error)
+        np.testing.assert_allclose(r["scores"], np.asarray(want), rtol=1e-4, atol=1e-6)
+        # video endpoints rejected in image mode
+        status, _ = _req(srv, "POST", "/v1/streams")
+        assert status == 400
+        # over-capacity batch rejected
+        big = np.zeros((5, SIZE, SIZE, 3), np.uint8)
+        status, _ = _req(srv, "POST", "/v1/images", body=big.tobytes(),
+                         headers={"X-Frames-Shape": f"5,{SIZE},{SIZE},3"})
+        assert status == 400
+    finally:
+        srv.close()
+
+
+def test_video_mode_rejects_image_endpoint(server):
+    status, _ = _req(server, "POST", "/v1/images",
+                     body=b"", headers={"X-Frames-Shape": "0,1,1,3"})
+    assert status == 400
+
+
 def test_idle_slots_keep_their_state(server):
     """A busy neighbour stream must not advance an idle stream's carried
     ConvLSTM state with zero-filled frames (regression: the coalescing

@@ -13,11 +13,17 @@ a beyond-reference component built around the framework's state-carrying
 scoring path.
 
 Protocol (JSON unless noted):
-    POST   /v1/streams                 -> {"slot": N}
-    DELETE /v1/streams/<slot>          -> {"detached": N}
+    POST   /v1/streams                 -> {"slot": N}            (video)
+    DELETE /v1/streams/<slot>          -> {"detached": N}        (video)
     POST   /v1/streams/<slot>/frames   body = raw u8 bytes, header
-           X-Frames-Shape: "T,H,W,3"   -> {"scores": [T floats], ...}
+           X-Frames-Shape: "T,H,W,3"   -> {"scores": [T floats]} (video)
+    POST   /v1/images                  body = raw u8 bytes, header
+           X-Frames-Shape: "N,H,W,3"   -> {"scores": [N floats]} (image)
     GET    /v1/health                  -> config + live slot map
+
+Image checkpoints are served statelessly through /v1/images (requests
+padded to a fixed device batch); video checkpoints through the
+slot-stateful /v1/streams API.
 
 Frames POSTs block until the coalescing scorer thread has run their
 chunk (bounded micro-batch latency: the tick runs as soon as any request
@@ -36,8 +42,70 @@ from typing import Dict, Optional
 import numpy as np
 
 
+class ImageScoringService:
+    """Stateless image-model scoring (no stream slots to manage).
+
+    Requests are padded to a fixed device batch and serialized through
+    one lock — the jitted step keeps a single static shape.
+    """
+
+    kind = "image"
+
+    def __init__(self, model, variables, image_size: int, batch: int = 32,
+                 dtype=None) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from vad_tpu.models.autoencoder import ConvAutoencoder
+        from vad_tpu.utils.precision import cast_floating
+
+        dtype = dtype or jnp.bfloat16
+        self.image_size = image_size
+        self.batch = batch
+        self.dtype = dtype
+        variables = cast_floating(variables, dtype) if dtype != jnp.float32 else variables
+
+        def score(v, u8):
+            x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+            return model.apply(
+                v, x, method=ConvAutoencoder.reconstruction_error
+            ).astype(jnp.float32)
+
+        self._score = jax.jit(score)
+        self._variables = variables
+        self._lock = threading.Lock()
+        # warm-up compile
+        self._score(variables, np.zeros((batch, image_size, image_size, 3), np.uint8))
+
+    def score_images(self, frames: np.ndarray) -> np.ndarray:
+        n = frames.shape[0]
+        expect = (self.image_size, self.image_size, 3)
+        if frames.ndim != 4 or frames.shape[1:] != expect or frames.dtype != np.uint8:
+            raise ValueError(f"expected uint8 [n, {expect}], got {frames.dtype} {frames.shape}")
+        if not 0 < n <= self.batch:
+            raise ValueError(f"batch of {n} exceeds server capacity {self.batch}")
+        padded = np.zeros((self.batch, *expect), np.uint8)
+        padded[:n] = frames
+        with self._lock:
+            scores = self._score(self._variables, padded)
+        return np.asarray(scores[:n], np.float64)
+
+    def close(self) -> None:
+        pass
+
+    def health(self) -> dict:
+        return {
+            "model_type": "image",
+            "batch": self.batch,
+            "image_size": self.image_size,
+            "dtype": str(self.dtype),
+        }
+
+
 class ScoringService:
     """Thread-safe coalescing wrapper around MultiStreamScorer."""
+
+    kind = "video"
 
     def __init__(self, scorer) -> None:
         self.scorer = scorer
@@ -158,6 +226,7 @@ class ScoringService:
     def health(self) -> dict:
         s = self.scorer
         return {
+            "model_type": "video",
             "num_slots": s.num_slots,
             "chunk": s.chunk,
             "image_size": s.image_size,
@@ -190,6 +259,21 @@ def _make_handler(service: ScoringService):
 
         def do_POST(self) -> None:
             try:
+                if self.path == "/v1/images":
+                    if service.kind != "image":
+                        self._json(400, {"error": "video model is being served; use /v1/streams"})
+                        return
+                    shape = tuple(
+                        int(v) for v in self.headers.get("X-Frames-Shape", "").split(",")
+                    )
+                    n = int(self.headers.get("Content-Length", 0))
+                    frames = np.frombuffer(self.rfile.read(n), np.uint8).reshape(shape)
+                    scores = service.score_images(frames)
+                    self._json(200, {"scores": list(scores)})
+                    return
+                if service.kind != "video":
+                    self._json(400, {"error": "image model is being served; use /v1/images"})
+                    return
                 if self.path == "/v1/streams":
                     self._json(200, {"slot": service.attach()})
                     return
@@ -232,8 +316,9 @@ def _make_handler(service: ScoringService):
 class ScoringServer:
     """HTTP server wrapper; ``port=0`` binds an ephemeral port (tests)."""
 
-    def __init__(self, scorer, host: str = "0.0.0.0", port: int = 8600) -> None:
-        self.service = ScoringService(scorer)
+    def __init__(self, scorer=None, host: str = "0.0.0.0", port: int = 8600,
+                 service=None) -> None:
+        self.service = service if service is not None else ScoringService(scorer)
         self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.service))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
@@ -262,16 +347,37 @@ def serve_from_checkpoint(
     dtype: str = "bfloat16",
     fused_input: Optional[bool] = None,
 ) -> ScoringServer:
-    """Build a ScoringServer from a video checkpoint (ours or imported)."""
+    """Build a ScoringServer from a checkpoint (ours or torch-imported).
+
+    Video checkpoints get the coalescing multi-stream service; image
+    checkpoints get the stateless batched image service (``num_slots``
+    doubles as the image batch capacity)."""
     import jax.numpy as jnp
+
+    from vad_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(checkpoint)
+    print("warming up (first compile)...", flush=True)
+
+    if ckpt.get("model_type") == "image":
+        from vad_tpu.core.config import ImageAEConfig
+        from vad_tpu.models.autoencoder import ConvAutoencoder
+
+        icfg = ImageAEConfig.from_args(ckpt.get("args", {}))
+        imodel = ConvAutoencoder(
+            in_channels=icfg.in_channels, latent_dim=icfg.latent_dim, norm=icfg.norm
+        )
+        ivars = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+        service = ImageScoringService(
+            imodel, ivars, icfg.image_size, batch=num_slots, dtype=getattr(jnp, dtype)
+        )
+        return ScoringServer(service, host, port, service=service)
 
     from vad_tpu.core.config import VideoAEConfig
     from vad_tpu.eval.serving import MultiStreamScorer
     from vad_tpu.models.video_autoencoder import VideoAutoencoder
     from vad_tpu.ops.convlstm_pallas import preferred_backend
-    from vad_tpu.utils.checkpoint import load_checkpoint
 
-    ckpt = load_checkpoint(checkpoint)
     cfg = VideoAEConfig.from_args(ckpt.get("args", {}))
     lat = cfg.image_size // 16
 
@@ -289,7 +395,6 @@ def serve_from_checkpoint(
         image_size=cfg.image_size, dtype=getattr(jnp, dtype), fused_input=fused_input,
     )
     # pay the jit compile before accepting traffic
-    print("warming up (first compile)...", flush=True)
     warm = np.zeros((num_slots, chunk, cfg.image_size, cfg.image_size, 3), np.uint8)
     scorer.score_chunk(warm)
     return ScoringServer(scorer, host, port)
