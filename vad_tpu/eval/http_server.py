@@ -156,6 +156,8 @@ class ScoringService:
             raise ValueError(f"expected uint8 {expect}, got {frames.dtype} {frames.shape}")
         fut: Future = Future()
         with self._lock:
+            if self._stop:
+                raise RuntimeError("server shutting down")
             if not s._active[slot]:
                 raise KeyError(f"slot {slot} not attached")
             if slot in self._pending:
@@ -183,32 +185,28 @@ class ScoringService:
             for slot, (frames, _) in batch_items.items():
                 batch[slot] = frames
             try:
+                # only submitting slots advance their carried (h, c): the
+                # scorer keeps everyone else's state inside the jitted
+                # step (their batch rows are zero padding, not frames)
+                submitted = np.zeros(s.num_slots, bool)
+                submitted[list(batch_items)] = True
                 with self._scorer_lock:
-                    prev_states = s.states
-                    out = s.score_chunk(batch)
-                    # slots that did NOT submit this tick must not have
-                    # their carried (h, c) advanced by the zero frames the
-                    # batch padded them with — restore their state.
-                    idle = np.asarray(
-                        [i for i in range(s.num_slots) if i not in batch_items],
-                        dtype=np.int32,
-                    )
-                    if idle.size:
-                        s.states = tuple(
-                            (
-                                h_new.at[idle].set(h_old[idle]),
-                                c_new.at[idle].set(c_old[idle]),
-                            )
-                            for (h_new, c_new), (h_old, c_old) in zip(
-                                s.states, prev_states
-                            )
-                        )
+                    out = s.score_chunk(batch, submitted=submitted)
+                    still_active = s._active.copy()
                 scores = out[0] if isinstance(out, tuple) else out
                 for slot, (_, fut) in batch_items.items():
-                    fut.set_result(np.asarray(scores[slot], np.float64))
+                    if still_active[slot]:
+                        fut.set_result(np.asarray(scores[slot], np.float64))
+                    else:
+                        # detached while the chunk was on the device: its
+                        # scores are NaN-masked, don't hand those out
+                        fut.set_exception(
+                            RuntimeError(f"slot {slot} detached during scoring")
+                        )
             except Exception as exc:  # pragma: no cover - device failure path
                 for _, fut in batch_items.values():
-                    fut.set_exception(exc)
+                    if not fut.done():
+                        fut.set_exception(exc)
 
     def _fail_pending(self, exc: Exception) -> None:
         """Caller must hold self._lock."""
@@ -300,6 +298,9 @@ def _make_handler(service: ScoringService):
 
         def do_DELETE(self) -> None:
             try:
+                if service.kind != "video":
+                    self._json(400, {"error": "image model is being served; use /v1/images"})
+                    return
                 parts = self.path.strip("/").split("/")
                 if len(parts) == 3 and parts[:2] == ["v1", "streams"]:
                     slot = int(parts[2])
@@ -371,7 +372,7 @@ def serve_from_checkpoint(
         service = ImageScoringService(
             imodel, ivars, icfg.image_size, batch=num_slots, dtype=getattr(jnp, dtype)
         )
-        return ScoringServer(service, host, port, service=service)
+        return ScoringServer(host=host, port=port, service=service)
 
     from vad_tpu.core.config import VideoAEConfig
     from vad_tpu.eval.serving import MultiStreamScorer

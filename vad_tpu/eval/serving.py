@@ -81,27 +81,37 @@ class MultiStreamScorer:
 
         if fused_input:
 
-            def step(v, u8, states):
+            def forward(v, u8, states):
                 s, t, h, w, _ = u8.shape
                 _, err, scores, new_states = model.apply(
                     v, u8.reshape(s, t, h, w * 3), states, self._w_band,
                     self._bias_folded, return_maps,
                     method=VideoAutoencoder.stream_step_u8,
                 )
-                if return_maps:
-                    return scores.astype(jnp.float32), err.astype(jnp.float32), new_states
-                return scores.astype(jnp.float32), None, new_states
+                return scores, err, new_states
 
         else:
 
-            def step(v, u8, states):
+            def forward(v, u8, states):
                 x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
                 recon, err, scores, new_states = model.apply(
                     v, x, states, method=VideoAutoencoder.stream_step
                 )
-                if return_maps:
-                    return scores.astype(jnp.float32), err.astype(jnp.float32), new_states
-                return scores.astype(jnp.float32), None, new_states
+                return scores, err, new_states
+
+        def step(v, u8, states, submitted):
+            scores, err, new_states = forward(v, u8, states)
+            # only slots that actually submitted frames advance their
+            # carried (h, c); everyone else keeps their state (their rows
+            # of the batch are padding, not real frames)
+            keep = submitted.reshape(-1, 1, 1, 1)
+            out_states = tuple(
+                (jnp.where(keep, h_new, h_old), jnp.where(keep, c_new, c_old))
+                for (h_new, c_new), (h_old, c_old) in zip(new_states, states)
+            )
+            if return_maps:
+                return scores.astype(jnp.float32), err.astype(jnp.float32), out_states
+            return scores.astype(jnp.float32), None, out_states
 
         self._step = jax.jit(step)
 
@@ -135,12 +145,17 @@ class MultiStreamScorer:
 
     # ------------------------------------------------------------- score
 
-    def score_chunk(self, frames_u8: np.ndarray):
+    def score_chunk(self, frames_u8: np.ndarray, submitted: Optional[np.ndarray] = None):
         """Score one chunk across all slots.
 
         Args:
             frames_u8: [num_slots, chunk, H, W, 3] uint8 (RGB).  Inactive
                 slots may carry arbitrary data; their scores are NaN.
+            submitted: optional [num_slots] bool mask of slots whose rows
+                are REAL frames this tick — only those slots' carried
+                (h, c) advance; everyone else's state is preserved inside
+                the jitted step (their rows are batch padding).  Defaults
+                to the active-slot mask.
 
         Returns:
             scores [num_slots, chunk] float (NaN for inactive slots), and
@@ -151,8 +166,11 @@ class MultiStreamScorer:
                 f"expected {(self.num_slots, self.chunk, self.image_size, self.image_size, 3)}, "
                 f"got {frames_u8.shape}"
             )
+        if submitted is None:
+            submitted = self._active
         scores, maps, self.states = self._step(
-            self.variables, jnp.asarray(frames_u8), self.states
+            self.variables, jnp.asarray(frames_u8), self.states,
+            jnp.asarray(submitted, bool),
         )
         scores = np.array(scores)  # owned copy (np.asarray of a jax array is read-only)
         scores[~self._active] = np.nan
@@ -161,10 +179,15 @@ class MultiStreamScorer:
         return scores
 
     def score_streams(self, streams: Dict[int, Sequence[np.ndarray]]) -> Dict[int, np.ndarray]:
-        """Convenience: feed per-slot frame lists (each a chunk of frames)."""
+        """Convenience: feed per-slot frame lists (each a chunk of frames).
+
+        Only the submitting slots' carried state advances — attached
+        streams absent from ``streams`` keep their (h, c) untouched.
+        """
         batch = np.zeros(
             (self.num_slots, self.chunk, self.image_size, self.image_size, 3), np.uint8
         )
+        submitted = np.zeros(self.num_slots, bool)
         for slot, frames in streams.items():
             if not self._active[slot]:
                 raise RuntimeError(f"slot {slot} is not attached")
@@ -172,5 +195,6 @@ class MultiStreamScorer:
             if arr.shape[0] != self.chunk:
                 raise ValueError(f"slot {slot}: expected {self.chunk} frames, got {arr.shape[0]}")
             batch[slot] = arr
-        scores = self.score_chunk(batch)
+            submitted[slot] = True
+        scores = self.score_chunk(batch, submitted=submitted)
         return {slot: scores[slot] for slot in streams}
