@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Serving precision policy")
     p.add_argument("--fused-input", action="store_true",
                    help="Use the fused Pallas input block (see ops/encoder_pallas.py)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard stream slots + carried state over all visible "
+                        "chips ('data'-axis mesh); each chip serves "
+                        "slots/n_chips independent streams")
     return p
 
 
@@ -37,6 +41,7 @@ def main() -> None:
     server = serve_from_checkpoint(
         args.checkpoint, args.host, args.port, args.slots, args.chunk,
         args.dtype, fused_input=args.fused_input or None,
+        data_parallel=args.data_parallel,
     )
     h = server.service.health()
     if h["model_type"] == "video":

@@ -148,10 +148,18 @@ def test_image_model_serving():
         # video endpoints rejected in image mode
         status, _ = _req(srv, "POST", "/v1/streams")
         assert status == 400
-        # over-capacity batch rejected
-        big = np.zeros((5, SIZE, SIZE, 3), np.uint8)
-        status, _ = _req(srv, "POST", "/v1/images", body=big.tobytes(),
-                         headers={"X-Frames-Shape": f"5,{SIZE},{SIZE},3"})
+        # over-capacity request (2.5x the compiled batch of 4) is chunked
+        # into three padded device steps server-side, not rejected
+        big = rng.integers(0, 255, size=(10, SIZE, SIZE, 3), dtype=np.uint8)
+        status, r = _req(srv, "POST", "/v1/images", body=big.tobytes(),
+                         headers={"X-Frames-Shape": f"10,{SIZE},{SIZE},3"})
+        assert status == 200 and len(r["scores"]) == 10
+        xb = jnp.asarray(big, jnp.float32) / 127.5 - 1.0
+        want_big = model.apply(variables, xb, method=ConvAutoencoder.reconstruction_error)
+        np.testing.assert_allclose(r["scores"], np.asarray(want_big), rtol=1e-4, atol=1e-6)
+        # empty batch still a client error
+        status, _ = _req(srv, "POST", "/v1/images", body=b"",
+                         headers={"X-Frames-Shape": f"0,{SIZE},{SIZE},3"})
         assert status == 400
     finally:
         srv.close()

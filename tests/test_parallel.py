@@ -100,6 +100,42 @@ def test_opt_state_shardings_mirror_params():
     assert total_sharded == 2 * n_param_sharded
 
 
+def test_opt_state_moments_pinned_by_type_not_structure():
+    """A chain carrying a params-STRUCTURED but scalar-leaved extra state
+    must not receive param shardings (bare treedef equality would
+    mis-shard it); the true Adam moments still get them via the
+    ScaleByAdamState type match."""
+    import optax
+
+    mesh = get_mesh(model_parallel=2)
+    model = VideoAutoencoder(latent_dim=128, lstm_hidden_dim=128, lstm_layers=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 32, 32, 3)), train=False)
+    params = variables["params"]
+
+    def scale_init(p):
+        # params-structured tree of SCALARS: same treedef, wrong shapes
+        return jax.tree.map(lambda _: jnp.asarray(1.0), p)
+
+    extra = optax.GradientTransformation(scale_init, lambda u, s, p=None: (u, s))
+    tx = optax.chain(extra, optax.scale_by_adam(), optax.scale(-1e-4))
+    opt_state = tx.init(params)
+
+    opt_sh = opt_state_shardings(opt_state, params, mesh)
+    assert jax.tree.structure(opt_sh) == jax.tree.structure(opt_state)
+
+    # the scalar tree (chain position 0) is fully replicated
+    scalar_tree_sh = opt_sh[0]
+    assert all(s.spec == P() for s in jax.tree.leaves(scalar_tree_sh))
+    # Adam's mu/nu (chain position 1) carry the param shardings verbatim
+    param_sh = convlstm_param_shardings(params, mesh)
+    adam_sh = opt_sh[1]
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b, adam_sh.mu, param_sh))
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b, adam_sh.nu, param_sh))
+    n_param_sharded = sum(int(s.spec != P()) for s in jax.tree.leaves(param_sh))
+    total_sharded = sum(int(s.spec != P()) for s in jax.tree.leaves(opt_sh))
+    assert n_param_sharded == 4 and total_sharded == 2 * n_param_sharded
+
+
 def test_tp_matches_dp_only_loss_multi_step():
     """Per-step losses identical under (8,1) and (4,2) meshes across 3 Adam
     steps, with the opt state sharded like the params under tp."""

@@ -136,6 +136,95 @@ def test_bf16_long_stream_no_state_drift(scorer_setup):
     np.testing.assert_allclose(s16, s32, rtol=0.03)
 
 
+def test_mesh_scores_match_single_device(scorer_setup):
+    """Slots sharded over the 8-device 'data' axis produce the SAME scores
+    as the unsharded scorer — the mesh only changes placement."""
+    from jax.sharding import PartitionSpec as P
+
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    mesh = get_mesh()  # (data=8, model=1)
+    plain = MultiStreamScorer(model, variables, num_slots=8, chunk=4, image_size=64)
+    sharded = MultiStreamScorer(
+        model, variables, num_slots=8, chunk=4, image_size=64, mesh=mesh
+    )
+    for s in (plain, sharded):
+        for slot in range(8):
+            s.attach(slot)
+    batch = np.stack([make_frames(20 + i, 4) for i in range(8)])
+    for _ in range(3):  # carried state must agree across steps too
+        want = plain.score_chunk(batch)
+        got = sharded.score_chunk(batch)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+    # the carried state actually lives sharded over 'data'
+    for h, c in sharded.states:
+        assert h.sharding.spec == P("data"), h.sharding
+        assert c.sharding.spec == P("data"), c.sharding
+
+
+def test_mesh_slot_isolation_and_reset(scorer_setup):
+    """Attach/detach on the sharded scorer: per-slot state isolation is
+    preserved (idle neighbours don't advance; reattach zeroes state)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    mesh = get_mesh()
+    s = MultiStreamScorer(model, variables, num_slots=8, chunk=4, image_size=64, mesh=mesh)
+    a, b = s.attach(), s.attach()
+    fa, fb = make_frames(30, 4), make_frames(31, 4)
+
+    first = s.score_streams({a: fa, b: fb})
+    first_a = first[a].copy()
+    # advance only b: a's carried (h, c) must not move
+    state_a_before = [np.asarray(h[a]) for h, _ in s.states]
+    s.score_streams({b: fb})
+    state_a_after = [np.asarray(h[a]) for h, _ in s.states]
+    for x, y in zip(state_a_before, state_a_after):
+        np.testing.assert_array_equal(x, y)
+
+    # detach + reattach a: same first-chunk scores as a fresh stream
+    s.detach(a)
+    assert s.attach(a) == a
+    again = s.score_streams({a: fa})[a]
+    np.testing.assert_allclose(again, first_a, rtol=1e-5, atol=1e-7)
+    # out-of-jit reset kept the state pinned to the 'data' layout
+    for h, c in s.states:
+        assert h.sharding.spec == P("data"), h.sharding
+
+
+def test_mesh_works_under_tp_axis_too(scorer_setup):
+    """A (data=4, model=2) mesh serves fine: slots ride 'data', the model
+    axis replicates (scoring has no tp sharding to exploit)."""
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    mesh = get_mesh(model_parallel=2)
+    plain = MultiStreamScorer(model, variables, num_slots=4, chunk=4, image_size=64)
+    sharded = MultiStreamScorer(
+        model, variables, num_slots=4, chunk=4, image_size=64, mesh=mesh
+    )
+    plain.attach(1)
+    sharded.attach(1)
+    batch = np.zeros((4, 4, 64, 64, 3), np.uint8)
+    batch[1] = make_frames(40, 4)
+    np.testing.assert_allclose(
+        sharded.score_chunk(batch)[1], plain.score_chunk(batch)[1],
+        rtol=2e-5, atol=1e-7,
+    )
+
+
+def test_mesh_rejects_indivisible_slots(scorer_setup):
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    with pytest.raises(ValueError, match="divide evenly"):
+        MultiStreamScorer(model, variables, num_slots=6, chunk=4, image_size=64,
+                          mesh=get_mesh())
+
+
 def test_shape_validation(scorer_setup):
     model, variables = scorer_setup
     s = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--norm", type=str, default="batch", choices=["batch", "group"],
                         help="Normalization: batch (reference parity) or group "
                              "(per-sample stats; immune to padded small batches)")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="Tensor-parallel mesh axis size (devices split "
+                             "into data x model; 1 = pure data parallelism)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="Raise on the first NaN produced on device")
     parser.add_argument("--profile-dir", type=str, default=None,

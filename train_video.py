@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "(per-sample stats; immune to padded small batches)")
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint to resume training from")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="Tensor-parallel mesh axis size (devices split "
+                             "into data x model; 1 = pure data parallelism)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="Raise on the first NaN produced on device")
     parser.add_argument("--profile-dir", type=str, default=None,

@@ -113,6 +113,144 @@ class Loader:
                 yield collate([f.result() for f in futures])
 
 
+class DistributedLoader:
+    """Mesh-aware batched iterator: the trainers' input path.
+
+    Every process loads ONLY its own contiguous slice of each global
+    batch (the multi-host feeding contract, vad_tpu.parallel.multihost)
+    and assembles the global batch-sharded jax.Array via
+    `put_global_batch` — so `python train.py` IS the distributed program:
+    at process_count == 1 this degenerates exactly to decode-everything +
+    one sharded device_put, and on a multi-host slice each host decodes
+    1/P of every batch with no code change.  Replaces the reference's
+    single-device DataLoader + `.to(device)` (train.py:128-146).
+
+    Yields ``(batch, n_real)``: array fields become global jax.Arrays
+    sharded over the mesh 'data' axis, ``n_real`` counts the REAL samples
+    (the index list of each batch is padded to ``pad_to`` by repeating
+    its last real index, keeping jit shapes static; callers mask the
+    padded tail via n_real exactly as with `pad_batch_for_devices`).
+
+    Args:
+        dataset: object with __len__ and __getitem__ -> dict.
+        batch_size: REAL samples consumed per global step.
+        mesh: the device mesh batches are sharded over.
+        pad_to: static global batch shape (default: batch_size rounded up
+            to a multiple of the mesh data axis).
+        shuffle/seed: epoch-seeded global permutation — identical on
+            every host (the permutation is metadata, not data).
+        drop_remainder: skip the final partial batch.
+        process_count/process_index: override the jax process topology
+            (tests simulate host k of P in a single process; requires
+            assemble=False since no real global array can be built).
+        assemble: when False, yield the host-LOCAL numpy arrays instead
+            of global jax.Arrays (testing the slice path).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        mesh,
+        pad_to: int | None = None,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        process_count: int | None = None,
+        process_index: int | None = None,
+        assemble: bool = True,
+    ) -> None:
+        from vad_tpu.parallel.sharding import padded_batch_size
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.pad_to = pad_to if pad_to is not None else padded_batch_size(batch_size, mesh)
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.process_count = process_count
+        self.process_index = process_index
+        self.assemble = assemble
+        if assemble and (process_count is not None or process_index is not None):
+            raise ValueError("explicit process topology requires assemble=False")
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_plan(self) -> List:
+        """[(local_indices, n_real)] for every global batch this epoch."""
+        from vad_tpu.parallel.multihost import local_sample_range
+
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        n_batches = len(self)
+        start, count = local_sample_range(
+            self.pad_to, self.process_count, self.process_index
+        )
+        plan = []
+        for step in range(n_batches):
+            lo = step * self.batch_size
+            real = min(self.batch_size, n - lo)
+            idx = order[lo : lo + real]
+            if real < self.pad_to:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], self.pad_to - real)])
+            plan.append((idx[start : start + count], real))
+        return plan
+
+    def _finish(self, samples: List[Dict], n_real: int):
+        from vad_tpu.parallel.multihost import put_global_batch
+
+        arrays = collate(samples)
+        if self.assemble:
+            arrays = put_global_batch(self.mesh, arrays, self.pad_to)
+        return arrays, n_real
+
+    def __iter__(self) -> Iterator:
+        plan = self._epoch_plan()
+        self._epoch += 1
+        if not plan:
+            return
+        if self.num_workers == 0:
+            for local_idx, n_real in plan:
+                yield self._finish([self.dataset[int(i)] for i in local_idx], n_real)
+            return
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # same decode pipeline as Loader: futures for up to 2 batches
+            # stay in flight while the caller consumes batch N
+            pending = []
+            ahead = 2
+            it = iter(plan)
+
+            def submit(item):
+                local_idx, n_real = item
+                return (
+                    [pool.submit(self.dataset.__getitem__, int(i)) for i in local_idx],
+                    n_real,
+                )
+
+            try:
+                for _ in range(ahead):
+                    pending.append(submit(next(it)))
+            except StopIteration:
+                pass
+            for item in it:
+                futures, n_real = pending.pop(0)
+                pending.append(submit(item))
+                yield self._finish([f.result() for f in futures], n_real)
+            for futures, n_real in pending:
+                yield self._finish([f.result() for f in futures], n_real)
+
+
 def device_prefetch(iterable: Iterable[Dict], size: int = 2) -> Iterator[Dict]:
     """Move batches to device asynchronously, `size` batches ahead.
 

@@ -78,17 +78,26 @@ class ImageScoringService:
         self._score(variables, np.zeros((batch, image_size, image_size, 3), np.uint8))
 
     def score_images(self, frames: np.ndarray) -> np.ndarray:
+        """Score ``n`` frames; requests larger than the device batch are
+        chunked into ceil(n / batch) padded device steps server-side, so a
+        client never has to know the server's compiled batch size."""
         n = frames.shape[0]
         expect = (self.image_size, self.image_size, 3)
         if frames.ndim != 4 or frames.shape[1:] != expect or frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 [n, {expect}], got {frames.dtype} {frames.shape}")
-        if not 0 < n <= self.batch:
-            raise ValueError(f"batch of {n} exceeds server capacity {self.batch}")
-        padded = np.zeros((self.batch, *expect), np.uint8)
-        padded[:n] = frames
+        if n == 0:
+            raise ValueError("empty batch")
+        out = np.empty(n, np.float64)
         with self._lock:
-            scores = self._score(self._variables, padded)
-        return np.asarray(scores[:n], np.float64)
+            for lo in range(0, n, self.batch):
+                part = frames[lo : lo + self.batch]
+                padded = np.zeros((self.batch, *expect), np.uint8)
+                padded[: part.shape[0]] = part
+                scores = self._score(self._variables, padded)
+                out[lo : lo + part.shape[0]] = np.asarray(
+                    scores[: part.shape[0]], np.float64
+                )
+        return out
 
     def close(self) -> None:
         pass
@@ -347,12 +356,19 @@ def serve_from_checkpoint(
     chunk: int = 16,
     dtype: str = "bfloat16",
     fused_input: Optional[bool] = None,
+    data_parallel: bool = False,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
 
     Video checkpoints get the coalescing multi-stream service; image
     checkpoints get the stateless batched image service (``num_slots``
-    doubles as the image batch capacity)."""
+    doubles as the image batch capacity).
+
+    ``data_parallel``: shard the video scorer's slots (and carried state)
+    over all visible chips via a 'data'-axis mesh — each chip serves
+    num_slots / n_chips independent streams with no collectives in the
+    step (see MultiStreamScorer's mesh docs).  ``num_slots`` is rounded
+    up to a multiple of the chip count."""
     import jax.numpy as jnp
 
     from vad_tpu.utils.checkpoint import load_checkpoint
@@ -382,6 +398,16 @@ def serve_from_checkpoint(
     cfg = VideoAEConfig.from_args(ckpt.get("args", {}))
     lat = cfg.image_size // 16
 
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from vad_tpu.parallel.sharding import get_mesh
+
+        mesh = get_mesh()
+        n = len(jax.devices())
+        num_slots = ((num_slots + n - 1) // n) * n
+
     model = VideoAutoencoder(
         in_channels=cfg.in_channels,
         latent_dim=cfg.latent_dim,
@@ -394,6 +420,7 @@ def serve_from_checkpoint(
     scorer = MultiStreamScorer(
         model, variables, num_slots=num_slots, chunk=chunk,
         image_size=cfg.image_size, dtype=getattr(jnp, dtype), fused_input=fused_input,
+        mesh=mesh,
     )
     # pay the jit compile before accepting traffic
     warm = np.zeros((num_slots, chunk, cfg.image_size, cfg.image_size, 3), np.uint8)

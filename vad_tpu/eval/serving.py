@@ -32,6 +32,17 @@ class MultiStreamScorer:
         chunk: frames consumed per step per stream (static time dim).
         image_size: model input resolution.
         return_maps: also return per-pixel error maps (costs bandwidth).
+        mesh: optional `jax.sharding.Mesh` (axes from
+            vad_tpu.parallel.sharding).  Slots, the carried (h, c) state
+            and the per-slot score outputs are sharded over the 'data'
+            axis; variables are replicated; the jitted step is pinned
+            with in/out shardings exactly like the training step.
+            Scaling story: per-chip throughput times the data-axis size —
+            each chip owns num_slots / data_axis stream slots, streams
+            never communicate (the batch dim is embarrassingly parallel),
+            so XLA inserts NO collectives in the scoring step and a
+            d-chip slice serves d x the streams at single-chip latency.
+            `num_slots` must divide evenly by the data-axis size.
     """
 
     def __init__(
@@ -44,6 +55,7 @@ class MultiStreamScorer:
         return_maps: bool = False,
         dtype=jnp.float32,
         fused_input: Optional[bool] = None,
+        mesh=None,
     ) -> None:
         """``fused_input``: run normalize+conv1+BN+LeakyReLU+pool as the
         fused Pallas kernel on raw bytes (ops/encoder_pallas.py).
@@ -60,6 +72,24 @@ class MultiStreamScorer:
         self.image_size = image_size
         self.return_maps = return_maps
         self.dtype = dtype
+        self.mesh = mesh
+        self._slot_sh = self._repl_sh = None
+        if mesh is not None:
+            from vad_tpu.parallel.sharding import (
+                DATA_AXIS,
+                batch_sharding,
+                replicate_sharding,
+            )
+
+            data_n = mesh.shape[DATA_AXIS]
+            if num_slots % data_n != 0:
+                raise ValueError(
+                    f"num_slots={num_slots} must divide evenly over the "
+                    f"'{DATA_AXIS}' mesh axis of size {data_n}"
+                )
+            self._slot_sh = batch_sharding(mesh)
+            self._repl_sh = replicate_sharding(mesh)
+            self.variables = jax.device_put(self.variables, self._repl_sh)
         if fused_input is None:
             fused_input = False
         self.fused_input = fused_input
@@ -69,6 +99,9 @@ class MultiStreamScorer:
             w_band, bias_folded = fold_from_variables(variables)
             self._w_band = jnp.asarray(w_band, jnp.float32).astype(dtype)
             self._bias_folded = jnp.asarray(bias_folded, jnp.float32)
+            if mesh is not None:
+                self._w_band = jax.device_put(self._w_band, self._repl_sh)
+                self._bias_folded = jax.device_put(self._bias_folded, self._repl_sh)
         lat = image_size // 16
         # the carried ConvLSTM state stays f32 even under a bf16 policy —
         # it integrates across the whole stream (utils/precision.py); the
@@ -76,6 +109,12 @@ class MultiStreamScorer:
         self._zero_state = ConvLSTM.zero_state(
             model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
         )
+        if mesh is not None:
+            # carried state lives sharded over 'data' for the whole stream
+            # lifetime — each chip keeps only its own slots' (h, c) in HBM
+            self._zero_state = jax.tree.map(
+                lambda a: jax.device_put(a, self._slot_sh), self._zero_state
+            )
         self.states = self._zero_state
         self._active = np.zeros(num_slots, dtype=bool)
 
@@ -113,7 +152,21 @@ class MultiStreamScorer:
                 return scores.astype(jnp.float32), err.astype(jnp.float32), out_states
             return scores.astype(jnp.float32), None, out_states
 
-        self._step = jax.jit(step)
+        kwargs = {}
+        if mesh is not None:
+            state_sh = jax.tree.map(lambda _: self._slot_sh, self._zero_state)
+            kwargs["in_shardings"] = (
+                self._repl_sh,   # variables
+                self._slot_sh,   # frames [S, T, H, W, 3]
+                state_sh,        # carried (h, c) per layer [S, h, w, C]
+                self._slot_sh,   # submitted mask [S]
+            )
+            kwargs["out_shardings"] = (
+                self._slot_sh,                               # scores [S, T]
+                self._slot_sh if return_maps else None,      # error maps
+                state_sh,
+            )
+        self._step = jax.jit(step, **kwargs)
 
     # ------------------------------------------------------------- slots
 
@@ -136,7 +189,13 @@ class MultiStreamScorer:
     def _reset_slot(self, slot: int) -> None:
         new_states = []
         for (h, c), (zh, zc) in zip(self.states, self._zero_state):
-            new_states.append((h.at[slot].set(zh[slot]), c.at[slot].set(zc[slot])))
+            h2, c2 = h.at[slot].set(zh[slot]), c.at[slot].set(zc[slot])
+            if self._slot_sh is not None:
+                # re-pin: the out-of-jit update must not drift the carried
+                # state off its 'data'-axis layout between steps
+                h2 = jax.device_put(h2, self._slot_sh)
+                c2 = jax.device_put(c2, self._slot_sh)
+            new_states.append((h2, c2))
         self.states = tuple(new_states)
 
     @property

@@ -68,6 +68,24 @@ def host_batch_indices(
     return order[lo : lo + count]
 
 
+def to_host(x) -> np.ndarray:
+    """Full GLOBAL array as host numpy, on every process.
+
+    Single-process (all shards addressable): a plain copy.  Multi-host:
+    `process_allgather` — each host holds only its shard of a
+    batch-sharded eval output, but the metric code (AUROC, separation)
+    needs the global view everywhere.  Metric arrays are tiny (one scalar
+    per sample), so the DCN gather is noise next to the eval step.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def put_global_batch(
     mesh,
     arrays: Dict[str, np.ndarray],

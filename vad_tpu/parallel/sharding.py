@@ -83,27 +83,51 @@ def convlstm_param_shardings(params, mesh: Mesh):
 def opt_state_shardings(opt_state, params, mesh: Mesh):
     """NamedSharding tree for the optimizer state, mirroring the params.
 
-    Every params-structured subtree inside ``opt_state`` (Adam's mu/nu
-    moments — the same size as the params) gets `convlstm_param_shardings`;
-    scalars and hyperparameters are replicated.  Under tensor parallelism
-    this keeps each device's moment shards aligned with its param shards
-    instead of holding full-size replicated moments (which would undercut
-    the memory rationale of the tp axis).
+    Adam's mu/nu moments (the same size as the params) get
+    `convlstm_param_shardings`; scalars and hyperparameters are
+    replicated.  Under tensor parallelism this keeps each device's moment
+    shards aligned with its param shards instead of holding full-size
+    replicated moments (which would undercut the memory rationale of the
+    tp axis).
+
+    Moments are identified primarily by TYPE — `optax.ScaleByAdamState`
+    (covers adam/adamw/scale_by_adam however they are chained or wrapped
+    in `inject_hyperparams`) — with a structure-AND-leaf-shape match as
+    the fallback for other optax transforms that carry params-sized
+    accumulators (e.g. `optax.trace` momentum).  Bare structure equality
+    alone is NOT enough: a params-structured tree of scalars (per-param
+    schedules, loss-scale trees) would match the treedef while its leaves
+    cannot take per-channel shardings.
     """
+    import optax
+
     param_sh = convlstm_param_shardings(params, mesh)
     pdef = jax.tree.structure(params)
+    pshapes = [jnp_shape(leaf) for leaf in jax.tree.leaves(params)]
     repl = replicate_sharding(mesh)
 
     def params_like(node) -> bool:
         try:
-            return jax.tree.structure(node) == pdef
+            if jax.tree.structure(node) != pdef:
+                return False
+            return [jnp_shape(leaf) for leaf in jax.tree.leaves(node)] == pshapes
         except Exception:
             return False
 
+    def stop(node) -> bool:
+        return isinstance(node, optax.ScaleByAdamState) or params_like(node)
+
     def fix(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=repl, mu=param_sh, nu=param_sh)
         return param_sh if params_like(node) else repl
 
-    return jax.tree.map(fix, opt_state, is_leaf=params_like)
+    return jax.tree.map(fix, opt_state, is_leaf=stop)
+
+
+def jnp_shape(leaf) -> tuple:
+    """Shape of an array-ish leaf; () for python scalars."""
+    return tuple(getattr(leaf, "shape", ()))
 
 
 def train_state_shardings(state, mesh: Mesh):

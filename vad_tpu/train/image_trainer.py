@@ -8,10 +8,18 @@ lowest val loss, final checkpoint at the end, results under
 ``<results_dir>/<category>_<timestamp>/``.
 
 TPU-native differences: one jitted SPMD train step (donated buffers,
-batch sharded over the mesh data axis), async device prefetch of decoded
-batches, masked padding for static shapes, and true resume support
-(--resume, new capability; the reference saves optimizer state but never
-restores it — SURVEY §5.4).
+batch sharded over the mesh data axis), masked padding for static
+shapes, and true resume support (--resume, new capability; the reference
+saves optimizer state but never restores it — SURVEY §5.4).
+
+Distribution is wired through the CLI, not just the library
+(replacing the reference's single `.to(device)` ceiling, train.py:146):
+``--model-parallel N`` splits the mesh into ('data', 'model') and pins
+the train state's tp layout end to end (params, Adam moments, both
+compiled steps), and ALL batch feeding goes through `DistributedLoader`
+— each host decodes only its slice of every global batch and the global
+sharded array is assembled via `put_global_batch` (degenerates exactly
+to single-host behavior at process_count == 1).
 """
 
 from __future__ import annotations
@@ -26,10 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from vad_tpu.data.image_dataset import MVTecDataset
-from vad_tpu.data.loader import Loader
+from vad_tpu.data.loader import DistributedLoader
 from vad_tpu.models.autoencoder import ConvAutoencoder
 from vad_tpu.ops.losses import make_per_sample_loss_fn
-from vad_tpu.parallel.sharding import get_mesh, pad_batch_for_devices, padded_batch_size
+from vad_tpu.parallel.multihost import to_host
+from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
 from vad_tpu.train.state import (
     ReduceLROnPlateau,
     create_train_state,
@@ -46,12 +55,11 @@ def _describe_devices() -> None:
     print(f"Using {kind}: {len(devs)} device(s) — {devs[0].device_kind}")
 
 
-def run_epoch_train(train_step, state, loader, pad_bs):
+def run_epoch_train(train_step, state, loader):
     total, n_batches = 0.0, 0
     pending = None  # one-step delayed loss read: keeps host/device pipelined
-    for batch in iter(loader):
-        padded, n_real = pad_batch_for_devices({"image": batch["image"]}, pad_bs)
-        state, loss = train_step(state, padded["image"], jnp.asarray(n_real))
+    for batch, n_real in iter(loader):
+        state, loss = train_step(state, batch["image"], jnp.asarray(n_real))
         if pending is not None:
             total += float(pending)
         pending = loss
@@ -61,21 +69,18 @@ def run_epoch_train(train_step, state, loader, pad_bs):
     return state, total / max(n_batches, 1)
 
 
-def run_epoch_validate(eval_step, state, loader, pad_bs):
+def run_epoch_validate(eval_step, state, loader):
     """Returns (avg_loss, normal_err_mean, anomaly_err_mean, labels, scores)."""
     losses_sum, n_batches = 0.0, 0
     all_scores, all_labels = [], []
-    for batch in iter(loader):
-        padded, n_real = pad_batch_for_devices(
-            {"image": batch["image"]}, pad_bs
-        )
-        losses, scores = eval_step(state, padded["image"])
-        losses = np.asarray(losses)[:n_real]
-        scores = np.asarray(scores)[:n_real]
+    for batch, n_real in iter(loader):
+        losses, scores = eval_step(state, batch["image"])
+        losses = to_host(losses)[:n_real]
+        scores = to_host(scores)[:n_real]
         losses_sum += float(losses.mean())
         n_batches += 1
         all_scores.append(scores)
-        all_labels.append(np.asarray(batch["label"]))
+        all_labels.append(to_host(batch["label"])[:n_real])
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
     labels = np.concatenate(all_labels) if all_labels else np.zeros(0, np.int64)
     normal = scores[labels == 0]
@@ -92,12 +97,14 @@ def run_epoch_validate(eval_step, state, loader, pad_bs):
 def train(args: Any) -> Dict[str, Any]:
     """Train the image model; args mirrors the reference CLI namespace."""
     _describe_devices()
-    mesh = get_mesh()
+    model_parallel = int(getattr(args, "model_parallel", 1) or 1)
+    mesh = get_mesh(model_parallel=model_parallel)
+    if model_parallel > 1:
+        print(f"Mesh: {dict(mesh.shape)} (tensor parallelism over 'model')")
     if getattr(args, "debug_nans", False):
         from vad_tpu.utils.profiling import enable_nan_debugging
 
         enable_nan_debugging(True)
-    pad_bs = padded_batch_size(args.batch_size, mesh)
 
     print(f"\nLoading dataset: {args.category}")
     train_ds = MVTecDataset(
@@ -111,11 +118,14 @@ def train(args: Any) -> Dict[str, Any]:
 
     # drop the tail batch when possible: padded duplicates are masked out
     # of the loss but would still skew train-mode BatchNorm statistics
-    train_loader = Loader(
-        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0,
+    train_loader = DistributedLoader(
+        train_ds, args.batch_size, mesh, shuffle=True,
+        num_workers=args.num_workers, seed=0,
         drop_remainder=len(train_ds) >= args.batch_size,
     )
-    test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
+    test_loader = DistributedLoader(
+        test_ds, args.batch_size, mesh, num_workers=args.num_workers
+    )
 
     model = ConvAutoencoder(
         in_channels=3, latent_dim=args.latent_dim,
@@ -140,10 +150,13 @@ def train(args: Any) -> Dict[str, Any]:
 
     from vad_tpu.train.steps import u8_normalize
 
-    train_step = make_train_step(per_sample_loss, mesh, preprocess=u8_normalize)
+    state_sh = train_state_shardings(state, mesh)
+    train_step = make_train_step(
+        per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh
+    )
     eval_step = make_eval_step(
         per_sample_loss, ConvAutoencoder.reconstruction_error, mesh,
-        preprocess=u8_normalize,
+        preprocess=u8_normalize, state_shardings=state_sh,
     )
     scheduler = ReduceLROnPlateau(mode="min", factor=0.5, patience=5)
 
@@ -170,6 +183,12 @@ def train(args: Any) -> Dict[str, Any]:
         results_dir = Path(args.results_dir) / f"{args.category}_{timestamp}"
         results_dir.mkdir(parents=True, exist_ok=True)
 
+    # pin the state to its declared mesh layout up front (params
+    # tp-sharded, Adam moments mirroring them, rest replicated) so the
+    # first compiled step starts from the right placement — this also
+    # re-pins resumed host arrays
+    state = jax.tree.map(jax.device_put, state, state_sh)
+
     args_dict = dict(vars(args))
     from vad_tpu.utils.profiling import MetricsLogger
 
@@ -188,12 +207,12 @@ def train(args: Any) -> Dict[str, Any]:
             from vad_tpu.utils.profiling import trace
 
             with trace(profile_dir):
-                state, train_loss = run_epoch_train(train_step, state, train_loader, pad_bs)
+                state, train_loss = run_epoch_train(train_step, state, train_loader)
             print(f"  (profiler trace written to {profile_dir})")
         else:
-            state, train_loss = run_epoch_train(train_step, state, train_loader, pad_bs)
+            state, train_loss = run_epoch_train(train_step, state, train_loader)
         val_loss, normal_err, anomaly_err, _, _ = run_epoch_validate(
-            eval_step, state, test_loader, pad_bs
+            eval_step, state, test_loader
         )
 
         new_lr = scheduler.step(val_loss, current_learning_rate(state))

@@ -86,13 +86,21 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,), **kwargs)
 
 
-def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None, preprocess=None):
+def make_eval_step(
+    per_sample_loss_fn: Callable, score_method, mesh=None, preprocess=None,
+    state_shardings=None,
+):
     """Compiled (state, images) -> (per-sample loss [B], score [B]) step.
 
     score_method: model method computing reconstruction error (bound via
     apply_fn's ``method=``); runs inference-mode BN (running stats), like
     the reference's model.eval() during validation (train.py:63).  Padded
     tail entries are sliced off by the caller on host.
+
+    ``state_shardings``: pass the SAME layout as the train step's so an
+    interleaved train/eval epoch never reshards the params (under tp a
+    replicated eval in_sharding would all-gather the gate kernels every
+    validation batch).
     """
 
     def step(state, images):
@@ -106,7 +114,10 @@ def make_eval_step(per_sample_loss_fn: Callable, score_method, mesh=None, prepro
 
     kwargs = {}
     if mesh is not None:
-        kwargs["in_shardings"] = (replicate_sharding(mesh), batch_sharding(mesh))
+        state_sh = (
+            state_shardings if state_shardings is not None else replicate_sharding(mesh)
+        )
+        kwargs["in_shardings"] = (state_sh, batch_sharding(mesh))
         kwargs["out_shardings"] = (batch_sharding(mesh), batch_sharding(mesh))
     return jax.jit(step, **kwargs)
 

@@ -10,6 +10,14 @@ the two early-stop rules (no improvement for 5 epochs while separation <
 Results land in ``<results_dir>/video_<category>_<timestamp>/`` — the
 ``video_`` prefix is what the UI uses to classify checkpoints
 (reference main.py:57-75).
+
+Distribution is wired through the CLI (replacing the reference's single
+`.to(device)` ceiling, train_video.py:167): ``--model-parallel N``
+splits the mesh into ('data', 'model') — the ConvLSTM gate convolutions
+(2.36M of 2.7M params) shard over 'model' with the Adam moments
+mirroring them — and all batch feeding goes through `DistributedLoader`
+(per-host slices + `put_global_batch`; degenerates to single-host
+behavior at process_count == 1).
 """
 
 from __future__ import annotations
@@ -23,10 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vad_tpu.data.loader import Loader
+from vad_tpu.data.loader import DistributedLoader
 from vad_tpu.data.video_dataset import detect_video_dataset_class
 from vad_tpu.models.video_autoencoder import VideoAutoencoder
-from vad_tpu.parallel.sharding import get_mesh, pad_batch_for_devices, padded_batch_size
+from vad_tpu.parallel.multihost import to_host
+from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
 from vad_tpu.train.state import (
     ReduceLROnPlateau,
     create_train_state,
@@ -40,12 +49,14 @@ from vad_tpu.utils.checkpoint import save_checkpoint
 def train(args: Any) -> Dict[str, Any]:
     devs = jax.devices()
     print(f"Using {devs[0].platform.upper()}: {len(devs)} device(s) — {devs[0].device_kind}")
-    mesh = get_mesh()
+    model_parallel = int(getattr(args, "model_parallel", 1) or 1)
+    mesh = get_mesh(model_parallel=model_parallel)
+    if model_parallel > 1:
+        print(f"Mesh: {dict(mesh.shape)} (tensor parallelism over 'model')")
     if getattr(args, "debug_nans", False):
         from vad_tpu.utils.profiling import enable_nan_debugging
 
         enable_nan_debugging(True)
-    pad_bs = padded_batch_size(args.batch_size, mesh)
 
     print(f"\nLoading video dataset: {args.category}")
     DatasetClass = detect_video_dataset_class(args.data_dir, args.category)
@@ -64,11 +75,14 @@ def train(args: Any) -> Dict[str, Any]:
 
     # drop the tail batch when possible: padded duplicates are masked out
     # of the loss but would still skew train-mode BatchNorm statistics
-    train_loader = Loader(
-        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers, seed=0,
+    train_loader = DistributedLoader(
+        train_ds, args.batch_size, mesh, shuffle=True,
+        num_workers=args.num_workers, seed=0,
         drop_remainder=len(train_ds) >= args.batch_size,
     )
-    test_loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
+    test_loader = DistributedLoader(
+        test_ds, args.batch_size, mesh, num_workers=args.num_workers
+    )
 
     from vad_tpu.ops.convlstm_pallas import preferred_backend
 
@@ -114,10 +128,13 @@ def train(args: Any) -> Dict[str, Any]:
         score_method = VideoAutoencoder.reconstruction_error
 
     state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
-    train_step = make_train_step(per_sample_loss, mesh, preprocess=u8_normalize)
+    state_sh = train_state_shardings(state, mesh)
+    train_step = make_train_step(
+        per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh
+    )
     eval_step = make_eval_step(
         per_sample_loss, score_method, mesh,
-        preprocess=u8_normalize,
+        preprocess=u8_normalize, state_shardings=state_sh,
     )
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
 
@@ -158,6 +175,11 @@ def train(args: Any) -> Dict[str, Any]:
         timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         results_dir = Path(args.results_dir) / f"video_{args.category}_{timestamp}"
         results_dir.mkdir(parents=True, exist_ok=True)
+    # pin the state to its declared mesh layout up front (gate kernels +
+    # Adam moments tp-sharded, rest replicated); also re-pins resumed
+    # host arrays
+    state = jax.tree.map(jax.device_put, state, state_sh)
+
     args_dict = dict(vars(args))
     from vad_tpu.utils.profiling import MetricsLogger
 
@@ -180,9 +202,8 @@ def train(args: Any) -> Dict[str, Any]:
     def run_train_epoch(state):
         total, n_batches = 0.0, 0
         pending = None  # delayed loss read keeps host decode and device compute overlapped
-        for batch in iter(train_loader):
-            padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, pad_bs)
-            state, loss = train_step(state, padded["frames"], jnp.asarray(n_real))
+        for batch, n_real in iter(train_loader):
+            state, loss = train_step(state, batch["frames"], jnp.asarray(n_real))
             if pending is not None:
                 total += float(pending)
             pending = loss
@@ -206,14 +227,13 @@ def train(args: Any) -> Dict[str, Any]:
 
         loss_sum, n_eval = 0.0, 0
         normal_err, anomaly_err = [], []
-        for batch in iter(test_loader):
-            padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, pad_bs)
-            losses, scores = eval_step(state, padded["frames"])
-            losses = np.asarray(losses)[:n_real]
-            scores = np.asarray(scores)[:n_real]
+        for batch, n_real in iter(test_loader):
+            losses, scores = eval_step(state, batch["frames"])
+            losses = to_host(losses)[:n_real]
+            scores = to_host(scores)[:n_real]
             loss_sum += float(losses.mean())
             n_eval += 1
-            labels = np.asarray(batch["label"])
+            labels = to_host(batch["label"])[:n_real]
             normal_err.extend(scores[labels == 0].tolist())
             anomaly_err.extend(scores[labels == 1].tolist())
         val_loss = loss_sum / max(n_eval, 1)
