@@ -18,8 +18,10 @@ case; measured once and cached in BASELINE_MEASURED.json).
 
 Both recurrence backends (XLA scan and the fused Pallas kernel) are
 measured and printed as separate config lines with analytic MFU (model
-FLOPs / v5e bf16 peak); the FINAL line is the headline JSON the driver
-parses (best backend):
+FLOPs / v5e bf16 peak), at both 16- and 64-frame windows (BASELINE.json
+configs[4]), plus an image-scoring line (the /v1/images serving path) so
+the README's image figure is driver-tracked; the FINAL line is the
+headline JSON the driver parses (best video config):
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
      "mfu": ..., "flops_per_frame": ...}
 """
@@ -84,6 +86,31 @@ def model_flops_per_frame(image_size: int = 256) -> float:
     return f
 
 
+def image_model_flops(image_size: int = 256, latent: int = 256) -> float:
+    """Analytic forward MXU FLOPs per image of ConvAutoencoder (double-conv
+    encoder blocks 3->32->64->128->latent, ConvT+Conv decoder mirror)."""
+    f = 0.0
+    res = image_size * image_size
+    cin = 3
+    for cout in (32, 64, 128, latent):
+        f += res * cin * 9 * cout * 2      # conv1 3x3
+        f += res * cout * 9 * cout * 2     # conv2 3x3
+        res //= 4
+        cin = cout
+    # decoder: 3x [ConvT 2x2 stride2 + Conv3x3 refine], then the final
+    # ConvT(32) + Conv3x3 -> out_channels (models/autoencoder.py:106-116)
+    cin = latent
+    for cout in (128, 64, 32):
+        res *= 4
+        f += res * cin * 4 * cout * 2      # convtranspose 2x2
+        f += res * cout * 9 * cout * 2     # refine conv 3x3
+        cin = cout
+    res *= 4
+    f += res * cin * 4 * 32 * 2
+    f += res * 32 * 9 * 3 * 2
+    return f
+
+
 V5E_PEAK_BF16_FLOPS = 197e12  # per chip
 
 
@@ -95,7 +122,6 @@ def main() -> None:
     from vad_tpu.utils.precision import cast_floating
 
     image_size = 256
-    chunk_t = 16
     streams = 16  # parallel camera streams per chip (saturation point on v5e)
     n_source = 128
 
@@ -106,16 +132,20 @@ def main() -> None:
     lat = image_size // 16
 
     src = make_source_frames(n_source, image_size)
-    # [streams, T, H, W, 3] uint8 chunks cycled from the source buffer
-    def chunk_at(i: int) -> np.ndarray:
-        idx = (np.arange(chunk_t) + i * chunk_t) % len(src)
-        one = src[idx]
-        return np.broadcast_to(one, (streams, *one.shape)).copy()
 
-    chunks = [jnp.asarray(chunk_at(i)) for i in range(4)]
+    def make_chunks(chunk_t: int, n: int = 4):
+        """[streams, T, H, W, 3] uint8 chunks cycled from the source buffer."""
 
-    def measure(backend: str, fused_input: bool = False) -> float:
+        def chunk_at(i: int) -> np.ndarray:
+            idx = (np.arange(chunk_t) + i * chunk_t) % len(src)
+            one = src[idx]
+            return np.broadcast_to(one, (streams, *one.shape)).copy()
+
+        return [jnp.asarray(chunk_at(i)) for i in range(n)]
+
+    def measure(backend: str, fused_input: bool = False, chunk_t: int = 16) -> float:
         """Best-window steady-state fps for one configuration."""
+        chunks = make_chunks(chunk_t)
         model = VideoAutoencoder(backend=backend)
         variables = model.init(
             jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
@@ -164,7 +194,7 @@ def main() -> None:
         # final fetch is the barrier.  The TPU here sits behind a remote
         # tunnel with large run-to-run latency variance, so take several
         # windows and report the best (closest to device capability).
-        n_iters = 20
+        n_iters = max(4, 320 // chunk_t)  # ~same frames per window across T
         best_dt = float("inf")
         for _ in range(4):
             t0 = time.time()
@@ -174,30 +204,76 @@ def main() -> None:
             best_dt = min(best_dt, time.time() - t0)
         return n_iters * streams * chunk_t / best_dt
 
+    def measure_image(batch: int = 256) -> float:
+        """Steady-state image-scoring throughput (stateless conv AE path,
+        the workload behind serve.py's /v1/images endpoint)."""
+        from vad_tpu.models.autoencoder import ConvAutoencoder
+
+        model = ConvAutoencoder()
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, image_size, image_size, 3)), train=False
+        )
+        variables = cast_floating(variables, dtype)
+
+        def score(v, u8):
+            x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+            return model.apply(
+                v, x, method=ConvAutoencoder.reconstruction_error
+            ).astype(jnp.float32)
+
+        step = jax.jit(score)
+        bufs = [
+            jnp.asarray(src[(np.arange(batch) + 37 * i) % len(src)]) for i in range(4)
+        ]
+        s = step(variables, bufs[0])
+        np.asarray(s)  # compile barrier
+        n_iters = 12
+        best_dt = float("inf")
+        for _ in range(4):
+            t0 = time.time()
+            for i in range(n_iters):
+                s = step(variables, bufs[i % len(bufs)])
+            np.asarray(s)
+            best_dt = min(best_dt, time.time() - t0)
+        return n_iters * batch / best_dt
+
     flops_frame = model_flops_per_frame(image_size)
 
     def mfu(fps: float) -> float:
         return fps * flops_frame / V5E_PEAK_BF16_FLOPS
 
     configs = {
-        "fused input block + fused-pallas recurrence, bf16": ("pallas", True),
-        "fused-pallas recurrence, bf16": ("pallas", False),
-        "xla scan recurrence, bf16": ("xla", False),
+        "fused input block + fused-pallas recurrence, bf16": ("pallas", True, 16),
+        "fused-pallas recurrence, bf16": ("pallas", False, 16),
+        "xla scan recurrence, bf16": ("xla", False, 16),
+        # BASELINE.json configs[4] names 64-frame windows: prove the fused
+        # kernel's VMEM/tiling behavior holds at T=64 (it scans per frame,
+        # so T only lengthens the scan — measured, not assumed)
+        "fused-pallas recurrence, bf16, 64-frame windows": ("pallas", False, 64),
+        "xla scan recurrence, bf16, 64-frame windows": ("xla", False, 64),
     }
     results = {}
-    for name, (backend, fused) in configs.items():
-        results[name] = measure(backend, fused)
+    for name, (backend, fused, chunk_t) in configs.items():
+        results[name] = measure(backend, fused, chunk_t)
         print(json.dumps({
             "config": name,
             "value": round(results[name], 1), "unit": "frames/s/chip",
             "mfu": round(mfu(results[name]), 3),
         }), flush=True)
 
+    image_fps = measure_image()
+    image_flops = image_model_flops(image_size)
+    print(json.dumps({
+        "config": "image scoring, bf16, batch 256",
+        "value": round(image_fps, 1), "unit": "images/s/chip",
+        "mfu": round(image_fps * image_flops / V5E_PEAK_BF16_FLOPS, 3),
+    }), flush=True)
+
     fps = max(results.values())
 
     from vad_tpu.utils.baseline_torch import measure_reference_cpu_fps
 
-    baseline_fps = measure_reference_cpu_fps(image_size=image_size, sequence_length=chunk_t)
+    baseline_fps = measure_reference_cpu_fps(image_size=image_size, sequence_length=16)
 
     result = {
         "metric": "720p-video ConvLSTM scoring throughput (device pipeline)",
@@ -206,6 +282,7 @@ def main() -> None:
         "vs_baseline": round(fps / baseline_fps, 1),
         "mfu": round(mfu(fps), 3),
         "flops_per_frame": flops_frame,
+        "image_scoring_fps": round(image_fps, 1),
     }
     print(json.dumps(result))
 

@@ -59,10 +59,11 @@ class MultiStreamScorer:
     ) -> None:
         """``fused_input``: run normalize+conv1+BN+LeakyReLU+pool as the
         fused Pallas kernel on raw bytes (ops/encoder_pallas.py).
-        Measured throughput-neutral on v5e (see that module's docstring),
-        so the default is OFF; exposed for tracking and for TPU
-        generations where the layout-handoff tradeoff differs.  Requires
-        TPU, W*3 %% 96 == 0 and even H."""
+        Measured ~11-12%% SLOWER end-to-end on v5e (XLA relayouts the
+        conv2 handoff — see that module's docstring), so the default is
+        OFF; kept only so the regression is tracked run-over-run and for
+        TPU generations where the layout-handoff tradeoff differs.
+        Requires TPU, W*3 %% 96 == 0 and even H."""
         from vad_tpu.utils.precision import cast_floating
 
         self.model = model

@@ -16,15 +16,19 @@ VMEM.  HBM traffic drops from ~2.4 GB to 50 MB in + 268 MB out per
 
 MEASURED OUTCOME (v5e, honest negative result): the kernel runs the
 block+norm in 4.2-5.4 ms per 256-frame chunk vs ~5-6 ms inside XLA's
-fused pipeline — but the end-to-end serving step is NEUTRAL (13.7 vs
-13.1 ms dispatch-amortized): XLA re-lays-out the kernel's output for
-its conv2 emitter, eating the savings.  Variant ablation shows the
-in-kernel assembly (rolls/concats/masks) costs ~0; the floor is
-per-program overhead + VMEM round-trips of the [1024, 1024] f32
-accumulators (6 MXU calls, 2 parities x 3 row-taps); folding more
-frames per program overflows the 16 MB VMEM budget.  The path is kept
-as an option (MultiStreamScorer(fused_input=True), bench.py config
-line) and tracked run-over-run.
+fused pipeline — but END-TO-END THE FUSED PATH LOSES ~11-12%%
+(BENCH_r02: 16,424 vs 18,472 frames/s; re-measured round 3: 16,520 vs
+18,853): XLA re-lays-out the kernel's output for its conv2 emitter,
+eating more than the savings.  (An earlier ad-hoc two-point timing read
+"neutral, 13.7 vs 13.1 ms"; the steady-state multi-window benchmark is
+the authoritative number — the docstring previously understated the
+loss.)  Variant ablation shows the in-kernel assembly
+(rolls/concats/masks) costs ~0; the floor is per-program overhead +
+VMEM round-trips of the [1024, 1024] f32 accumulators (6 MXU calls,
+2 parities x 3 row-taps); folding more frames per program overflows
+the 16 MB VMEM budget.  The path is kept as a LOSING opt-in
+(MultiStreamScorer(fused_input=True), bench.py config line) purely so
+the regression is tracked run-over-run on future TPU generations.
 
 Design notes (all layout choices exist to avoid the TPU's 128-lane
 padding of 3-channel-minor tensors, which costs 42x in bandwidth):
