@@ -158,16 +158,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
     u8 = jnp.asarray(rng.integers(0, 255, size=(F, H, H, 3), dtype=np.uint8))
 
-    def bench(fn, n=20, reps=4):
+    def bench(fn, n=20, reps=6):
         f = jax.jit(fn)
         out = f(u8, states)
-        np.asarray(out)  # compile + barrier (tunnel-safe)
+        jax.block_until_ready(out)  # compile barrier; no host transfer —
+        # early prefixes return ~100 MB tensors and pulling them over the
+        # device tunnel would be charged to the stage being measured
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
             for _ in range(n):
                 out = f(u8, states)
-            np.asarray(out)
+            jax.block_until_ready(out)
             best = min(best, (time.time() - t0) / n)
         return best * 1e3  # ms per chunk step
 

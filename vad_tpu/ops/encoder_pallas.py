@@ -14,21 +14,43 @@ This kernel fuses normalize + conv3x3 + BatchNorm + LeakyReLU + maxpool
 VMEM.  HBM traffic drops from ~2.4 GB to 50 MB in + 268 MB out per
 256-frame chunk.
 
-MEASURED OUTCOME (v5e, honest negative result): the kernel runs the
-block+norm in 4.2-5.4 ms per 256-frame chunk vs ~5-6 ms inside XLA's
-fused pipeline — but END-TO-END THE FUSED PATH LOSES ~11-12%%
-(BENCH_r02: 16,424 vs 18,472 frames/s; re-measured round 3: 16,520 vs
-18,853): XLA re-lays-out the kernel's output for its conv2 emitter,
-eating more than the savings.  (An earlier ad-hoc two-point timing read
-"neutral, 13.7 vs 13.1 ms"; the steady-state multi-window benchmark is
-the authoritative number — the docstring previously understated the
-loss.)  Variant ablation shows the in-kernel assembly
-(rolls/concats/masks) costs ~0; the floor is per-program overhead +
-VMEM round-trips of the [1024, 1024] f32 accumulators (6 MXU calls,
-2 parities x 3 row-taps); folding more frames per program overflows
-the 16 MB VMEM budget.  The path is kept as a LOSING opt-in
-(MultiStreamScorer(fused_input=True), bench.py config line) purely so
-the regression is tracked run-over-run on future TPU generations.
+MEASURED OUTCOME (v5e, round-3 closure — honest negative result): the
+question "is the first block's 6 ms reachable?" is now closed with a
+full attribution (tools/profile_blocks.py, tools/probe_block1.py,
+tools/ablate_block1.py; all numbers 256 frames @ 256x256 bf16):
+
+- The kernel itself WINS: 3.67 ms raw vs 5.83 ms for XLA's fused
+  normalize+conv+BN+leaky+pool (ablation: ~1.7 ms grid/DMA floor,
+  ~1.5 ms dots, ~0.4 ms epilogue after pooling before the single
+  leaky, ~0.3 ms band assembly).
+- The BOUNDARIES eat the win: the u8 [F,H,W,3]->[F,H/2,2,G,96] input
+  view is a 0.65 ms device copy (free only if the host delivers the
+  viewed shape), and the [F,H/2,G,512]->NHWC output reshape is a
+  ~2.0 ms XLA relayout (lane-blocks -> sublanes).  Kernel+boundaries
+  = 6.3 ms, i.e. ~parity; in the full serving graph the path measures
+  11-12%% SLOWER (BENCH_r02 16,424 vs 18,472 fps; r3 16,520 vs 18,853).
+- The boundary is Mosaic-IRREDUCIBLE today: emitting NHWC (C=32
+  minor) from the kernel fails "infer-vector-layout: unsupported
+  shape cast" for every formulation tried — direct [1024,512]->
+  [128,128,32] vector reshape, per-pixel sliced stores through
+  (1,hh,g,16,32) and (1,hh*g,16,32) out blocks (unit-dim stores),
+  and None-dim BlockSpecs (same lowering).
+- XLA-side reformulations all LOSE (probe_block1): space-to-depth
+  12->128-channel conv 6.32/7.00 ms, s2d+reduce_window pool 8.90 ms,
+  explicit 4x4-stride-2 patches + dot 16.62 ms.
+- There is no channel-padding escape: XLA conv+pool at 256^2 with
+  C_out=32 costs 5.9-6.6 ms for C_in in {3,4,8} and grows to 10.7 ms
+  at C_in=32 — time tracks the materialized 256^2 x 32 pre-pool
+  tensor (its padded-layout HBM traffic), not FLOPs (4.9 TFLOPS
+  effective at C_in=3).  Every expressible design either pays that
+  materialization inside XLA or pays the equivalent relayout at the
+  Pallas/XLA boundary.  ~5.8 ms IS the v5e floor for this block.
+
+The path is kept as a tracked opt-in (MultiStreamScorer(
+fused_input=True), bench.py config line) so the boundary-copy cost is
+re-measured run-over-run on future TPU generations / Mosaic releases,
+where a supported lane->sublane store would immediately flip it to a
+~2 ms win.
 
 Design notes (all layout choices exist to avoid the TPU's 128-lane
 padding of 3-channel-minor tensors, which costs 42x in bandwidth):
@@ -38,18 +60,27 @@ padding of 3-channel-minor tensors, which costs 42x in bandwidth):
   bytes (no host or device shuffle).  Two BlockSpecs over the
   even/odd-row axis make the *DMA engine* deliver the two row parities
   as separate VMEM buffers — no strided ops inside the kernel.
-- The 3x3 conv is a banded matmul: for each (row-parity a, row-tap dy)
-  the kernel assembles X [H/2*G, 102] (32-pixel groups + 1-pixel halo
-  on each side, RGB interleaved in lanes) with two sublane rolls and a
-  lane concat, then accumulates X @ W_band [102, GROUP*C1] on the MXU.
-  Weight columns are laid out as (w-parity b, pooled-px p', channel c),
-  so the 2x2 maxpool collapses to max of two contiguous lane halves
-  (w-pool) and max of the two parity accumulators (h-pool).
+- The 3x3 conv is a banded matmul: per row parity the kernel assembles
+  X [H/2*G, 3*102] (32-pixel groups + 1-pixel halo on each side, RGB
+  interleaved in lanes, the three dy row-taps concatenated along K)
+  with sublane rolls and lane concats, then one X @ W [306, GROUP*C1]
+  dot on the MXU.  Weight columns are laid out as (w-parity b,
+  pooled-px p', channel c), so the 2x2 maxpool collapses to max of two
+  contiguous lane halves (w-pool) and max of the two parity
+  accumulators (h-pool), applied BEFORE the single leaky_relu
+  (monotone, so max and leaky commute) to minimise VPU epilogue work.
+  NOTE the band embeds each true MAC 11.3x (102 K-lanes per 9 true
+  taps per dy): the dots run at ~59 TFLOPS on inflated FLOPs = ~5
+  TFLOPS useful — the same useful rate as XLA's emitter, which is why
+  restructuring the dots (v1 6 accumulated K=102 dots vs v2 2 single
+  K=306 dots) measured identical.
 - uint8 values are exactly representable in bf16, so the input affine
   (x/127.5 - 1) and inference BatchNorm fold entirely into the conv
   weights and bias: the kernel consumes raw bytes.
-- Output is [F, H/2, G, 32*C1] (lane-major pooled pixels); a free
-  XLA reshape turns it into NHWC [F, H/2, W/2, C1] for the next block.
+- Output is [F, H/2, G, 32*C1] (lane-major pooled pixels); the XLA
+  reshape to NHWC [F, H/2, W/2, C1] for the next block is row-major
+  compatible but NOT free — XLA executes it as a ~2 ms tiled-layout
+  relayout (see MEASURED OUTCOME above).
 
 Numerics match the XLA reference block to bf16 tolerance
 (tests/test_encoder_pallas.py).
@@ -138,7 +169,7 @@ def fold_from_variables(variables, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
 def _first_block_kernel(
     xe_ref,  # [1, HH, 1, G, 96] u8 — even pixel rows
     xo_ref,  # [1, HH, 1, G, 96] u8 — odd pixel rows
-    wb_ref,  # [3, KLANES, N] banded weights (N = GROUP*C1 conv outputs)
+    wb_ref,  # [3*KLANES, N] stacked banded weights (N = GROUP*C1)
     bias_ref,  # [1, N] f32
     out_ref,  # [1, HH, G, N//2] block (pooled: 16 px * C1 lanes)
     *,
@@ -182,29 +213,37 @@ def _first_block_kernel(
 
     dtype = wb_ref.dtype
 
-    def accum(planes):
-        acc = jnp.broadcast_to(bias_ref[0], (m, n)).astype(jnp.float32)
-        for dy, plane in enumerate(planes):
-            acc += jax.lax.dot(
-                band_x(plane).astype(dtype),
-                wb_ref[dy],
-                preferred_element_type=jnp.float32,
-            )
-        return acc
-
+    # One K = 3*KLANES dot per row parity instead of three accumulated
+    # K = KLANES dots: identical math (the stacked weight rows are the
+    # three dy bands), but the f32 [m, n] accumulator is written ONCE per
+    # parity instead of read-modify-written three times — the accumulator
+    # VMEM round trips were the v1 kernel's measured floor.
+    be = band_x(even).astype(dtype)
+    bo = band_x(odd).astype(dtype)
     # conv rows 2h' (parity 0): pixel rows 2h'-1 (odd, h'-1), 2h', 2h'+1
-    acc0 = accum([shift_h(odd, -1), even, odd])
+    x0 = jnp.concatenate([band_x(shift_h(odd, -1)).astype(dtype), be, bo], axis=1)
     # conv rows 2h'+1 (parity 1): pixel rows 2h', 2h'+1, 2h'+2 (even, h'+1)
-    acc1 = accum([even, odd, shift_h(even, 1)])
+    x1 = jnp.concatenate([be, bo, band_x(shift_h(even, 1)).astype(dtype)], axis=1)
+    w = wb_ref[...]
+    acc0 = jax.lax.dot(x0, w, preferred_element_type=jnp.float32) + bias_ref[0]
+    acc1 = jax.lax.dot(x1, w, preferred_element_type=jnp.float32) + bias_ref[0]
 
     def leaky(x):
         return jnp.where(x >= 0, x, negative_slope * x)
 
     half = n // 2
-    # w-pool: lane halves are the two w-parities; h-pool: the two accs
-    z0 = jnp.maximum(leaky(acc0[:, :half]), leaky(acc0[:, half:]))
-    z1 = jnp.maximum(leaky(acc1[:, :half]), leaky(acc1[:, half:]))
-    out_ref[0] = jnp.maximum(z0, z1).reshape(hh, g, half).astype(out_ref.dtype)
+    # Pool FIRST, leaky once: leaky_relu is monotone increasing (slope
+    # 0.2 > 0) so max and leaky commute — the ablated epilogue was ~1.4
+    # ms of the 3.8 ms kernel, mostly leaky passes over four [m, n/2]
+    # f32 accs.  w-pool: lane halves are the two w-parities; h-pool: the
+    # two parity accs.
+    z = leaky(
+        jnp.maximum(
+            jnp.maximum(acc0[:, :half], acc0[:, half:]),
+            jnp.maximum(acc1[:, :half], acc1[:, half:]),
+        )
+    ).astype(out_ref.dtype)
+    out_ref[0] = z.reshape(hh, g, half)
 
 
 def fused_first_block(
@@ -233,7 +272,7 @@ def fused_first_block(
     n = GROUP * c1
 
     x5 = x_flat.reshape(f, hh, 2, g, 96)
-    wb = w_band.astype(out_dtype)
+    wb = w_band.reshape(3 * KLANES, n).astype(out_dtype)
     bias2 = bias_folded.reshape(1, n).astype(jnp.float32)
 
     kernel = functools.partial(
@@ -241,24 +280,27 @@ def fused_first_block(
         pad_u=-in_shift / in_scale,
     )
 
+    out_spec = pl.BlockSpec(
+        (1, hh, g, n // 2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((f, hh, g, n // 2), out_dtype)
+
     out = pl.pallas_call(
         kernel,
         grid=(f,),
         in_specs=[
             pl.BlockSpec((1, hh, 1, g, 96), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hh, 1, g, 96), lambda i: (i, 0, 1, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, KLANES, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * KLANES, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, hh, g, n // 2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((f, hh, g, n // 2), out_dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * f * hh * g * 3 * KLANES * n,
             bytes_accessed=x_flat.size + f * hh * g * n,
             transcendentals=0,
         ),
     )(x5, x5, wb, bias2)
-    # lanes are (p', c) per (h', group): -> NHWC
+    # row-major merge of (g, GROUP/2) -> W/2: a true free reshape
     return out.reshape(f, hh, g * (GROUP // 2), c1)
