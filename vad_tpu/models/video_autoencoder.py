@@ -407,6 +407,44 @@ class VideoAutoencoder(nn.Module):
             err = jnp.mean(sq.reshape(b, t, h, w3 // 3, 3), axis=-1)
         return rf, err, frame_scores, new_states
 
+    def stream_step_fast(self, x: jnp.ndarray, states, folded, compute_err_map: bool = True):
+        """``stream_step`` with the decoder run as folded quadtree matmuls.
+
+        The ConvTranspose(2x2, s2) decoder is mathematically four dense
+        per-pixel matmuls (ops/decoder_fast.py); ``folded`` comes from
+        ``fold_decoder_params(variables)`` (inference BatchNorm baked in,
+        so norm='batch' models only).  Frame scores are computed in
+        quadtree row order and match ``stream_step`` to bf16 tolerance.
+
+        MEASURED 39%% SLOWER than ``stream_step`` end-to-end on v5e
+        (11.2k vs 18.3k frames/s — see ops/decoder_fast.py for the
+        layout-level attribution); kept as a tested engineering record,
+        not used by the serving path.
+
+        Returns (recon_quadtree [B*T*H*W, C], err_map or None,
+        frame_scores [B, T], new_states); convert recon with
+        ``decoder_fast.raster_from_quadtree`` when full frames are needed.
+        """
+        from vad_tpu.ops.decoder_fast import (
+            decode_quadtree,
+            quadtree_view,
+            raster_from_quadtree,
+        )
+
+        z = self.encoder(x, False)
+        z, new_states = self.convlstm(z, initial_states=states, return_state=True)
+        if self.lstm_hidden_dim != self.latent_dim:
+            z = self.proj(z)
+        recon_q = decode_quadtree(z, folded)
+        b, t, h, w, _ = x.shape
+        xq = quadtree_view(x)
+        pix = jnp.mean(jnp.square(xq - recon_q.astype(xq.dtype)), axis=-1)
+        frame_scores = jnp.mean(pix.reshape(b, t, -1), axis=-1)
+        err = None
+        if compute_err_map:
+            err = raster_from_quadtree(pix[:, None], (b, t), h, w)[..., 0]
+        return recon_q, err, frame_scores, new_states
+
     def error_map(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-pixel, per-frame anomaly map [B, T, H, W]."""
         recon = self(x, train=False)
