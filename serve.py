@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard stream slots + carried state over all visible "
                         "chips ('data'-axis mesh); each chip serves "
                         "slots/n_chips independent streams")
+    p.add_argument("--spatial", type=int, default=1, metavar="N",
+                   help="Also split image rows over a 'model' mesh axis of "
+                        "size N (spatial partitioning for few high-resolution "
+                        "streams; requires H and H/16 divisible by N, forces "
+                        "the XLA recurrence backend)")
     return p
 
 
@@ -41,7 +46,7 @@ def main() -> None:
     server = serve_from_checkpoint(
         args.checkpoint, args.host, args.port, args.slots, args.chunk,
         args.dtype, fused_input=args.fused_input or None,
-        data_parallel=args.data_parallel,
+        data_parallel=args.data_parallel, spatial_parallel=args.spatial,
     )
     h = server.service.health()
     if h["model_type"] == "video":

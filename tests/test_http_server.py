@@ -201,3 +201,30 @@ def test_idle_slots_keep_their_state(server):
     np.testing.assert_allclose(second_b["scores"], want_second, rtol=1e-5, atol=1e-6)
     _req(server, "DELETE", f"/v1/streams/{a['slot']}")
     _req(server, "DELETE", f"/v1/streams/{b['slot']}")
+
+
+def test_spatial_sharded_server_parity():
+    """The daemon over a spatially-partitioned scorer (slots on 'data',
+    image rows on 'model') returns the same scores as a plain scorer."""
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model = VideoAutoencoder()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    mesh = get_mesh(model_parallel=2)  # (data=4, model=2)
+    scorer = MultiStreamScorer(model, variables, 4, CHUNK, SIZE, mesh=mesh, spatial=True)
+    srv = ScoringServer(scorer, host="127.0.0.1", port=0)
+    srv.start_background()
+    try:
+        _, r = _req(srv, "POST", "/v1/streams")
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8)
+        _, got = _post_frames(srv, r["slot"], frames)
+
+        ref = MultiStreamScorer(model, variables, SLOTS, CHUNK, SIZE)
+        rs = ref.attach()
+        batch = np.zeros((SLOTS, CHUNK, SIZE, SIZE, 3), np.uint8)
+        batch[rs] = frames
+        want = ref.score_chunk(batch)[rs]
+        np.testing.assert_allclose(got["scores"], want, rtol=2e-5, atol=1e-6)
+    finally:
+        srv.close()

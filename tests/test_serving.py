@@ -231,3 +231,98 @@ def test_shape_validation(scorer_setup):
     s.attach()
     with pytest.raises(ValueError, match="expected"):
         s.score_chunk(np.zeros((2, 3, 64, 64, 3), np.uint8))
+
+
+def test_spatial_mesh_matches_plain(scorer_setup):
+    """Spatial partitioning (image rows over 'model', slots over 'data')
+    produces the same scores as the unsharded scorer across carried-state
+    steps — XLA's halo exchanges are exact, not approximate."""
+    from jax.sharding import PartitionSpec as P
+
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    mesh = get_mesh(model_parallel=2)  # (data=4, model=2)
+    plain = MultiStreamScorer(
+        model, variables, num_slots=4, chunk=4, image_size=64, return_maps=True
+    )
+    sharded = MultiStreamScorer(
+        model, variables, num_slots=4, chunk=4, image_size=64,
+        return_maps=True, mesh=mesh, spatial=True,
+    )
+    for s in (plain, sharded):
+        for slot in range(4):
+            s.attach(slot)
+    batch = np.stack([make_frames(50 + i, 4) for i in range(4)])
+    for _ in range(3):  # carried state must agree across steps too
+        want, want_maps = plain.score_chunk(batch)
+        got, got_maps = sharded.score_chunk(batch)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(got_maps, want_maps, rtol=2e-4, atol=1e-6)
+    # carried (h, c): slots over 'data', latent rows over 'model'
+    for h, c in sharded.states:
+        assert h.sharding.spec == P("data", "model"), h.sharding
+        assert c.sharding.spec == P("data", "model"), c.sharding
+
+
+def test_spatial_slot_reset_keeps_layout(scorer_setup):
+    """Detach/reattach under spatial sharding: fresh-stream scores and the
+    ('data', 'model') state layout both survive the out-of-jit reset."""
+    from jax.sharding import PartitionSpec as P
+
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    mesh = get_mesh(model_parallel=2)
+    s = MultiStreamScorer(
+        model, variables, num_slots=4, chunk=4, image_size=64, mesh=mesh, spatial=True
+    )
+    a = s.attach()
+    fa = make_frames(60, 4)
+    first = s.score_streams({a: fa})[a].copy()
+    s.score_streams({a: fa})
+    s.detach(a)
+    assert s.attach(a) == a
+    again = s.score_streams({a: fa})[a]
+    np.testing.assert_allclose(again, first, rtol=1e-5, atol=1e-7)
+    for h, _ in s.states:
+        assert h.sharding.spec == P("data", "model"), h.sharding
+
+
+def test_spatial_validation(scorer_setup):
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    with pytest.raises(ValueError, match="requires a mesh"):
+        MultiStreamScorer(model, variables, num_slots=4, image_size=64, spatial=True)
+    mesh = get_mesh(model_parallel=2)
+    pallas_model = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32, lstm_layers=2,
+                                    backend="pallas")
+    with pytest.raises(ValueError, match="xla"):
+        MultiStreamScorer(pallas_model, variables, num_slots=4, image_size=64,
+                          mesh=mesh, spatial=True)
+    with pytest.raises(ValueError, match="fused_input"):
+        MultiStreamScorer(model, variables, num_slots=4, image_size=64,
+                          mesh=mesh, spatial=True, fused_input=True)
+    with pytest.raises(ValueError, match="divide"):
+        # H=48: 48/16=3 latent rows do not split over model axis of 2
+        MultiStreamScorer(model, variables, num_slots=4, image_size=48,
+                          mesh=mesh, spatial=True)
+
+
+def test_rect_image_size(scorer_setup):
+    """(H, W) tuple sizes run without retraining (fully-convolutional
+    contract) and match a direct full-sequence forward at that size."""
+    model, variables = scorer_setup
+    s = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=(32, 64))
+    slot = s.attach()
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, size=(4, 32, 64, 3), dtype=np.uint8)
+    got = s.score_streams({slot: frames})[slot]
+    x = jnp.asarray(frames[None].astype(np.float32) / 127.5 - 1.0)
+    ref = model.apply(
+        variables, x, per_frame=True, method=VideoAutoencoder.reconstruction_error
+    )
+    np.testing.assert_allclose(got, np.asarray(ref)[0], rtol=2e-5, atol=1e-7)
+    with pytest.raises(ValueError, match="divisible by 16"):
+        MultiStreamScorer(model, variables, num_slots=2, image_size=(40, 64))

@@ -160,7 +160,7 @@ class ScoringService:
         """Queue one chunk for ``slot``; resolves to its [chunk] scores."""
         s = self.scorer
         self._check_slot(slot)
-        expect = (s.chunk, s.image_size, s.image_size, 3)
+        expect = (s.chunk,) + s.image_hw + (3,)
         if frames.shape != expect or frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 {expect}, got {frames.dtype} {frames.shape}")
         fut: Future = Future()
@@ -188,9 +188,7 @@ class ScoringService:
                 self._wake.clear()
             if not batch_items:
                 continue
-            batch = np.zeros(
-                (s.num_slots, s.chunk, s.image_size, s.image_size, 3), np.uint8
-            )
+            batch = np.zeros((s.num_slots, s.chunk) + s.image_hw + (3,), np.uint8)
             for slot, (frames, _) in batch_items.items():
                 batch[slot] = frames
             try:
@@ -357,6 +355,7 @@ def serve_from_checkpoint(
     dtype: str = "bfloat16",
     fused_input: Optional[bool] = None,
     data_parallel: bool = False,
+    spatial_parallel: int = 1,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
 
@@ -368,7 +367,13 @@ def serve_from_checkpoint(
     over all visible chips via a 'data'-axis mesh — each chip serves
     num_slots / n_chips independent streams with no collectives in the
     step (see MultiStreamScorer's mesh docs).  ``num_slots`` is rounded
-    up to a multiple of the chip count."""
+    up to a multiple of the chip count.
+
+    ``spatial_parallel``: additionally split image rows over a 'model'
+    mesh axis of this size (spatial partitioning for few high-resolution
+    streams; see MultiStreamScorer's ``spatial`` docs).  Implies a mesh
+    even without ``data_parallel`` and forces the XLA recurrence backend
+    (the Pallas kernel is opaque to the SPMD partitioner)."""
     import jax.numpy as jnp
 
     from vad_tpu.utils.checkpoint import load_checkpoint
@@ -399,30 +404,34 @@ def serve_from_checkpoint(
     lat = cfg.image_size // 16
 
     mesh = None
-    if data_parallel:
+    spatial = int(spatial_parallel or 1) > 1
+    if data_parallel or spatial:
         import jax
 
         from vad_tpu.parallel.sharding import get_mesh
 
-        mesh = get_mesh()
-        n = len(jax.devices())
-        num_slots = ((num_slots + n - 1) // n) * n
+        mesh = get_mesh(model_parallel=int(spatial_parallel or 1))
+        data_n = mesh.shape["data"]
+        num_slots = ((num_slots + data_n - 1) // data_n) * data_n
 
+    backend = preferred_backend(lat, lat, cfg.lstm_hidden_dim)
+    if spatial:
+        backend = "xla"  # Pallas recurrence is opaque to the SPMD partitioner
     model = VideoAutoencoder(
         in_channels=cfg.in_channels,
         latent_dim=cfg.latent_dim,
         lstm_hidden_dim=cfg.lstm_hidden_dim,
         lstm_layers=cfg.lstm_layers,
-        backend=preferred_backend(lat, lat, cfg.lstm_hidden_dim),
+        backend=backend,
         norm=cfg.norm,
     )
     variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     scorer = MultiStreamScorer(
         model, variables, num_slots=num_slots, chunk=chunk,
         image_size=cfg.image_size, dtype=getattr(jnp, dtype), fused_input=fused_input,
-        mesh=mesh,
+        mesh=mesh, spatial=spatial,
     )
     # pay the jit compile before accepting traffic
-    warm = np.zeros((num_slots, chunk, cfg.image_size, cfg.image_size, 3), np.uint8)
+    warm = np.zeros((num_slots, chunk) + scorer.image_hw + (3,), np.uint8)
     scorer.score_chunk(warm)
     return ScoringServer(scorer, host, port)

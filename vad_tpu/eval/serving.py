@@ -43,6 +43,23 @@ class MultiStreamScorer:
             so XLA inserts NO collectives in the scoring step and a
             d-chip slice serves d x the streams at single-chip latency.
             `num_slots` must divide evenly by the data-axis size.
+        spatial: additionally shard the image H dimension over the mesh's
+            'model' axis (spatial partitioning).  The models are fully
+            convolutional, so XLA's SPMD partitioner inserts the halo
+            exchanges every 3x3 conv / pool / ConvTranspose needs at
+            shard edges — no hand-written communication.  This is the
+            scaling axis for few HIGH-RESOLUTION streams (e.g. native
+            720p/1080p scoring, where one chip's HBM or latency binds),
+            orthogonal to the 'data' slot axis for MANY streams.
+            Requires the plain XLA backend (a Pallas kernel is a black
+            box to the partitioner) and H, H/16 divisible by the
+            'model' axis size.
+
+    ``image_size`` may be an int (square, the reference's contract) or an
+    ``(H, W)`` tuple for native-resolution scoring — both models are fully
+    convolutional, so any H, W divisible by 16 runs without retraining
+    (reference behavior is fixed 256x256 after resize,
+    evaluate_video.py:322-326; this generalizes it).
     """
 
     def __init__(
@@ -51,11 +68,12 @@ class MultiStreamScorer:
         variables,
         num_slots: int = 8,
         chunk: int = 16,
-        image_size: int = 256,
+        image_size=256,
         return_maps: bool = False,
         dtype=jnp.float32,
         fused_input: Optional[bool] = None,
         mesh=None,
+        spatial: bool = False,
     ) -> None:
         """``fused_input``: run normalize+conv1+BN+LeakyReLU+pool as the
         fused Pallas kernel on raw bytes (ops/encoder_pallas.py).
@@ -71,15 +89,26 @@ class MultiStreamScorer:
         self.num_slots = num_slots
         self.chunk = chunk
         self.image_size = image_size
+        hw = tuple(image_size) if isinstance(image_size, (tuple, list)) else (image_size, image_size)
+        if hw[0] % 16 or hw[1] % 16:
+            raise ValueError(f"image size {hw} must be divisible by 16 (4 pool stages)")
+        self.image_hw = hw
         self.return_maps = return_maps
         self.dtype = dtype
         self.mesh = mesh
+        self.spatial = spatial
         self._slot_sh = self._repl_sh = None
+        self._frame_sh = self._state_sh = self._map_sh = None
+        if spatial and mesh is None:
+            raise ValueError("spatial=True requires a mesh")
         if mesh is not None:
             from vad_tpu.parallel.sharding import (
                 DATA_AXIS,
+                MODEL_AXIS,
                 batch_sharding,
                 replicate_sharding,
+                spatial_frame_sharding,
+                spatial_state_sharding,
             )
 
             data_n = mesh.shape[DATA_AXIS]
@@ -90,6 +119,28 @@ class MultiStreamScorer:
                 )
             self._slot_sh = batch_sharding(mesh)
             self._repl_sh = replicate_sharding(mesh)
+            self._frame_sh = self._state_sh = self._slot_sh
+            self._map_sh = self._slot_sh
+            if spatial:
+                model_n = mesh.shape[MODEL_AXIS]
+                if model.backend != "xla":
+                    raise ValueError(
+                        "spatial partitioning requires backend='xla' (a "
+                        "Pallas kernel is opaque to the SPMD partitioner)"
+                    )
+                if fused_input:
+                    raise ValueError("spatial=True is incompatible with fused_input")
+                if hw[0] % (16 * model_n):
+                    raise ValueError(
+                        f"H={hw[0]} and H/16 must divide by the "
+                        f"'{MODEL_AXIS}' axis of size {model_n}"
+                    )
+                self._frame_sh = spatial_frame_sharding(mesh)   # [S,T,H,W,3]
+                self._state_sh = spatial_state_sharding(mesh)   # [S,h,w,C]
+                # error maps [S, T, H, W] share the frames' row split
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._map_sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
             self.variables = jax.device_put(self.variables, self._repl_sh)
         if fused_input is None:
             fused_input = False
@@ -103,18 +154,19 @@ class MultiStreamScorer:
             if mesh is not None:
                 self._w_band = jax.device_put(self._w_band, self._repl_sh)
                 self._bias_folded = jax.device_put(self._bias_folded, self._repl_sh)
-        lat = image_size // 16
+        lat_h, lat_w = hw[0] // 16, hw[1] // 16
         # the carried ConvLSTM state stays f32 even under a bf16 policy —
         # it integrates across the whole stream (utils/precision.py); the
         # scan path casts only the MXU conv inputs down to `dtype`.
         self._zero_state = ConvLSTM.zero_state(
-            model.lstm_layers, num_slots, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
+            model.lstm_layers, num_slots, lat_h, lat_w, model.lstm_hidden_dim, dtype=jnp.float32
         )
         if mesh is not None:
-            # carried state lives sharded over 'data' for the whole stream
-            # lifetime — each chip keeps only its own slots' (h, c) in HBM
+            # carried state lives sharded over 'data' (and, under spatial
+            # partitioning, latent rows over 'model') for the whole stream
+            # lifetime — each chip keeps only its own shard of (h, c) in HBM
             self._zero_state = jax.tree.map(
-                lambda a: jax.device_put(a, self._slot_sh), self._zero_state
+                lambda a: jax.device_put(a, self._state_sh), self._zero_state
             )
         self.states = self._zero_state
         self._active = np.zeros(num_slots, dtype=bool)
@@ -155,18 +207,44 @@ class MultiStreamScorer:
 
         kwargs = {}
         if mesh is not None:
-            state_sh = jax.tree.map(lambda _: self._slot_sh, self._zero_state)
+            state_sh = jax.tree.map(lambda _: self._state_sh, self._zero_state)
             kwargs["in_shardings"] = (
                 self._repl_sh,   # variables
-                self._slot_sh,   # frames [S, T, H, W, 3]
+                self._frame_sh,  # frames [S, T, H, W, 3]
                 state_sh,        # carried (h, c) per layer [S, h, w, C]
                 self._slot_sh,   # submitted mask [S]
             )
             kwargs["out_shardings"] = (
                 self._slot_sh,                               # scores [S, T]
-                self._slot_sh if return_maps else None,      # error maps
+                self._map_sh if return_maps else None,       # error maps
                 state_sh,
             )
+            if not spatial:
+                # Slot-parallel mode runs the step through shard_map: the
+                # scoring computation never mixes slots, so each chip runs
+                # the UNMODIFIED per-shard step on its own slots — zero
+                # collectives, and the fused Pallas recurrence / u8 input
+                # kernel stays a per-chip kernel (GSPMD cannot split a
+                # custom call, so the sharding-annotation route would
+                # break the Pallas backends on a real multi-chip host).
+                # Spatial mode needs the partitioner (halo exchanges at
+                # row-shard edges) and therefore keeps GSPMD + XLA backend.
+                from jax.sharding import PartitionSpec as P
+
+                from vad_tpu.parallel.sharding import DATA_AXIS
+
+                state_specs = jax.tree.map(lambda _: P(DATA_AXIS), self._zero_state)
+                step = jax.shard_map(
+                    step,
+                    mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), state_specs, P(DATA_AXIS)),
+                    out_specs=(
+                        P(DATA_AXIS),
+                        P(DATA_AXIS) if return_maps else None,
+                        state_specs,
+                    ),
+                    check_vma=False,
+                )
         self._step = jax.jit(step, **kwargs)
 
     # ------------------------------------------------------------- slots
@@ -191,11 +269,11 @@ class MultiStreamScorer:
         new_states = []
         for (h, c), (zh, zc) in zip(self.states, self._zero_state):
             h2, c2 = h.at[slot].set(zh[slot]), c.at[slot].set(zc[slot])
-            if self._slot_sh is not None:
+            if self._state_sh is not None:
                 # re-pin: the out-of-jit update must not drift the carried
-                # state off its 'data'-axis layout between steps
-                h2 = jax.device_put(h2, self._slot_sh)
-                c2 = jax.device_put(c2, self._slot_sh)
+                # state off its declared layout between steps
+                h2 = jax.device_put(h2, self._state_sh)
+                c2 = jax.device_put(c2, self._state_sh)
             new_states.append((h2, c2))
         self.states = tuple(new_states)
 
@@ -221,11 +299,9 @@ class MultiStreamScorer:
             scores [num_slots, chunk] float (NaN for inactive slots), and
             error maps [num_slots, chunk, H, W] when return_maps is set.
         """
-        if frames_u8.shape != (self.num_slots, self.chunk, self.image_size, self.image_size, 3):
-            raise ValueError(
-                f"expected {(self.num_slots, self.chunk, self.image_size, self.image_size, 3)}, "
-                f"got {frames_u8.shape}"
-            )
+        expected = (self.num_slots, self.chunk) + self.image_hw + (3,)
+        if frames_u8.shape != expected:
+            raise ValueError(f"expected {expected}, got {frames_u8.shape}")
         if submitted is None:
             submitted = self._active
         scores, maps, self.states = self._step(
@@ -244,9 +320,7 @@ class MultiStreamScorer:
         Only the submitting slots' carried state advances — attached
         streams absent from ``streams`` keep their (h, c) untouched.
         """
-        batch = np.zeros(
-            (self.num_slots, self.chunk, self.image_size, self.image_size, 3), np.uint8
-        )
+        batch = np.zeros((self.num_slots, self.chunk) + self.image_hw + (3,), np.uint8)
         submitted = np.zeros(self.num_slots, bool)
         for slot, frames in streams.items():
             if not self._active[slot]:

@@ -57,6 +57,27 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_frame_sharding(mesh: Mesh) -> NamedSharding:
+    """[S, T, H, W, C] frames: slots over 'data', image rows over 'model'.
+
+    Spatial partitioning for the fully-convolutional serving path: the
+    'model' axis splits the H dimension, and XLA's SPMD partitioner
+    inserts the halo exchanges each 3x3 conv / 2x2 pool / ConvTranspose
+    needs at shard edges automatically — there is no hand-written
+    communication.  This is how a single high-resolution (e.g. native
+    720p) stream spans chips when one chip's latency or HBM binds,
+    complementing the embarrassingly-parallel 'data' slot axis.
+    """
+    return NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+
+
+def spatial_state_sharding(mesh: Mesh) -> NamedSharding:
+    """Carried ConvLSTM (h, c) [S, h, w, C]: slots over 'data', latent
+    rows over 'model' — resident exactly where the sharded activations
+    that update them live, so the recurrence inserts no resharding."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def convlstm_param_shardings(params, mesh: Mesh):
     """NamedSharding tree for video-model params: ConvLSTM gate kernels
     sharded over 'model' on their output-channel dim, rest replicated.
@@ -147,6 +168,36 @@ def train_state_shardings(state, mesh: Mesh):
         opt_state=opt_state_shardings(state.opt_state, state.params, mesh),
         batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
     )
+
+
+def data_parallel_jit(fn, mesh: Optional[Mesh]):
+    """jit ``fn(variables, batch)`` data-parallel over the mesh: variables
+    replicated, every batch-leading input/output split over 'data'.
+
+    Implemented with `jax.shard_map` rather than GSPMD sharding
+    annotations: the eval/scoring computations are batch-elementwise, so
+    each chip runs the UNMODIFIED per-shard computation on its batch
+    slice with zero collectives — and, unlike the GSPMD route, a Pallas
+    kernel inside ``fn`` stays a per-chip kernel instead of hitting the
+    SPMD partitioner (which cannot split a custom call).  Results are
+    bitwise identical to the unsharded computation because convolutions
+    and per-sample reductions never mix batch elements.
+
+    The out_spec is a pytree prefix, so any output structure whose every
+    leaf is batch-leading (per-sample scalars, per-frame scores, error
+    maps) is covered.  ``mesh=None`` degrades to plain jit — callers
+    never special-case device counts.
+    """
+    if mesh is None:
+        return jax.jit(fn)
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict:
