@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--score-smooth", type=float, default=0.0,
                         help="Gaussian sigma (pixels) to blur the error map "
                              "before scoring (0 = off)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Score batches data-parallel over all visible "
+                             "chips (shard_map over the 'data' mesh axis; "
+                             "results are bitwise identical to single-chip)")
     return parser
 
 

@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Path to single video file for inference")
     parser.add_argument("--output-video", type=str, default=None,
                         help="Path for output annotated video")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Score batches data-parallel over all visible "
+                             "chips (shard_map over the 'data' mesh axis; "
+                             "results are bitwise identical to single-chip)")
     return parser
 
 

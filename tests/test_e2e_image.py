@@ -77,6 +77,23 @@ def test_evaluate_cli(trained_run):
     assert "Pixel-level AUROC:" in text  # localization metric (with GT masks)
 
 
+def test_evaluate_cli_data_parallel(trained_run):
+    """--data-parallel scores via shard_map over the 8-device mesh are
+    bitwise identical to the single-device evaluation (the scoring
+    computation never mixes batch elements)."""
+    import evaluate as eval_cli
+    from vad_tpu.eval.image_eval import evaluate
+
+    ckpt = str(trained_run["results_dir"] / "best_model.ckpt")
+    plain = evaluate(eval_cli.build_parser().parse_args(["--checkpoint", ckpt]))
+    dp = evaluate(
+        eval_cli.build_parser().parse_args(["--checkpoint", ckpt, "--data-parallel"])
+    )
+    assert dp == plain
+    text = (trained_run["results_dir"] / "evaluation" / "results.txt").read_text()
+    assert text.startswith(f"AUROC: {plain:.4f}")
+
+
 def test_resume_continues(trained_run):
     import train as train_cli
     from vad_tpu.train.image_trainer import train

@@ -75,6 +75,22 @@ def test_video_evaluate_cli(trained_video_run):
     assert len(vis) >= 2
 
 
+def test_video_evaluate_cli_data_parallel(trained_video_run):
+    """--data-parallel (shard_map over the 8-device mesh, batch padded to
+    the data-axis size) reproduces the single-device AUROC exactly."""
+    import evaluate_video as ev_cli
+    from vad_tpu.eval.video_eval import evaluate
+
+    base = [
+        "--checkpoint", str(trained_video_run["results_dir"] / "best_model.ckpt"),
+        "--data-dir", str(trained_video_run["data_dir"]),
+        "--batch-size", "2",
+    ]
+    plain = evaluate(ev_cli.build_parser().parse_args(base))
+    dp = evaluate(ev_cli.build_parser().parse_args(base + ["--data-parallel"]))
+    assert dp == plain
+
+
 def test_video_render_single_file(trained_video_run, tmp_path):
     import cv2
 

@@ -25,7 +25,7 @@ from vad_tpu.eval.plots import (
     plot_score_distribution,
 )
 from vad_tpu.models.autoencoder import ConvAutoencoder
-from vad_tpu.parallel.sharding import pad_batch_for_devices
+from vad_tpu.parallel.sharding import data_parallel_jit, pad_batch_for_devices
 from vad_tpu.utils.checkpoint import load_checkpoint
 
 
@@ -72,7 +72,7 @@ def smooth_error_map(err: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 def compute_scores(
     model, variables, test_ds, batch_size: int = 16, num_workers: int = 4,
-    score_mode: str = "mean", score_smooth: float = 0.0,
+    score_mode: str = "mean", score_smooth: float = 0.0, mesh=None,
 ):
     """(labels, scores, defect_types) over the test split.
 
@@ -81,10 +81,15 @@ def compute_scores(
     'max' / 'p99' (beyond-reference) are far more sensitive to small
     low-contrast defects, which a global mean dilutes.  score_smooth > 0
     Gaussian-blurs the map (sigma in pixels) before the reduction.
+    ``mesh``: shard each batch over the 'data' axis
+    (parallel.sharding.data_parallel_jit).
     """
+    if mesh is not None:
+        from vad_tpu.parallel.sharding import padded_batch_size
+
+        batch_size = padded_batch_size(batch_size, mesh)
     loader = Loader(test_ds, batch_size, num_workers=num_workers)
 
-    @jax.jit
     def score_step(v, x):
         err = model.apply(
             v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
@@ -98,6 +103,7 @@ def compute_scores(
             return jnp.percentile(flat, 99.0, axis=1)
         return jnp.mean(flat, axis=1)
 
+    score_step = data_parallel_jit(score_step, mesh)
     labels, scores, defects = [], [], []
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
@@ -109,7 +115,8 @@ def compute_scores(
 
 
 def compute_pixel_auroc(
-    model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0
+    model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0,
+    mesh=None,
 ) -> float:
     """Pixel-level localization AUROC against the ground-truth masks.
 
@@ -118,9 +125,12 @@ def compute_pixel_auroc(
     the whole test split.  ``score_smooth`` applies the same Gaussian blur
     the image score used, so both numbers come from the same maps.
     """
+    if mesh is not None:
+        from vad_tpu.parallel.sharding import padded_batch_size
+
+        batch_size = padded_batch_size(batch_size, mesh)
     loader = Loader(test_ds, batch_size, num_workers=4)
 
-    @jax.jit
     def maps_step(v, x):
         err = model.apply(
             v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
@@ -129,6 +139,7 @@ def compute_pixel_auroc(
             err = smooth_error_map(err, score_smooth)
         return err
 
+    maps_step = data_parallel_jit(maps_step, mesh)
     scores, labels = [], []
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
@@ -214,6 +225,13 @@ def evaluate(args: Any) -> float:
     output_dir = checkpoint_path.parent / "evaluation"
     output_dir.mkdir(exist_ok=True)
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from vad_tpu.parallel.sharding import get_mesh
+
+        mesh = get_mesh()
+        print(f"Data-parallel evaluation over {mesh.shape['data']} devices")
+
     score_mode = getattr(args, "score_mode", "mean") or "mean"
     score_smooth = float(getattr(args, "score_smooth", 0.0) or 0.0)
     if score_mode != "mean" or score_smooth > 0:
@@ -223,7 +241,8 @@ def evaluate(args: Any) -> float:
         )
     print("\nComputing metrics...")
     labels, scores, defects = compute_scores(
-        model, variables, test_ds, score_mode=score_mode, score_smooth=score_smooth
+        model, variables, test_ds, score_mode=score_mode, score_smooth=score_smooth,
+        mesh=mesh,
     )
     if len(np.unique(labels)) > 1:
         score = auroc(labels, scores)
@@ -233,7 +252,7 @@ def evaluate(args: Any) -> float:
         print("Cannot compute AUROC - only one class present")
     breakdown = per_defect_breakdown(labels, scores, defects)
     pixel_score = compute_pixel_auroc(
-        model, variables, test_ds, score_smooth=score_smooth
+        model, variables, test_ds, score_smooth=score_smooth, mesh=mesh
     )
 
     print(f"\n{'=' * 50}")

@@ -26,7 +26,7 @@ from vad_tpu.data.video_dataset import detect_video_dataset_class
 from vad_tpu.eval.metrics import auroc
 from vad_tpu.eval.plots import plot_roc_curve, plot_score_distribution, plt
 from vad_tpu.models.video_autoencoder import VideoAutoencoder
-from vad_tpu.parallel.sharding import pad_batch_for_devices
+from vad_tpu.parallel.sharding import data_parallel_jit, pad_batch_for_devices
 from vad_tpu.utils.checkpoint import load_checkpoint
 
 
@@ -90,7 +90,16 @@ def evaluate(args: Any) -> float:
         image_size=image_size,
     )
     print(f"Test sequences: {len(test_ds)}")
-    loader = Loader(test_ds, args.batch_size, num_workers=2)
+
+    mesh = None
+    batch_size = args.batch_size
+    if getattr(args, "data_parallel", False):
+        from vad_tpu.parallel.sharding import get_mesh, padded_batch_size
+
+        mesh = get_mesh()
+        batch_size = padded_batch_size(batch_size, mesh)
+        print(f"Data-parallel evaluation over {mesh.shape['data']} devices")
+    loader = Loader(test_ds, batch_size, num_workers=2)
 
     objective = saved.get("objective", "reconstruct") or "reconstruct"
     score_method = (
@@ -101,18 +110,19 @@ def evaluate(args: Any) -> float:
     if objective == "predict":
         print("Scoring objective: future-frame prediction error")
 
-    @jax.jit
     def score_step(v, x):
         seq = model.apply(v, x, method=score_method)
         frame = model.apply(v, x, per_frame=True, method=score_method)
         return seq, frame
+
+    score_step = data_parallel_jit(score_step, mesh)
 
     all_scores, all_labels = [], []
     frame_scores, frame_labels = [], []
     has_frame_labels = getattr(test_ds, "has_frame_labels", False)
     print("\nComputing anomaly scores...")
     for batch in loader:
-        padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, args.batch_size)
+        padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, batch_size)
         seq, frame = score_step(variables, padded["frames"])
         all_scores.extend(np.asarray(seq)[:n_real].tolist())
         all_labels.extend(np.asarray(batch["label"]).tolist())
