@@ -165,6 +165,42 @@ def test_image_model_serving():
         srv.close()
 
 
+def test_image_service_mesh_parity():
+    """Image scoring under the mesh (data-parallel and data+spatial)
+    matches the plain single-device service; data-parallel is bitwise
+    (shard_map never mixes batch elements), spatial is float-close (the
+    partitioner reassociates conv accumulations at halo edges)."""
+    from vad_tpu.eval.http_server import ImageScoringService
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model = ConvAutoencoder(latent_dim=64)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 255, size=(5, SIZE, SIZE, 3), dtype=np.uint8)
+
+    plain = ImageScoringService(model, variables, SIZE, batch=4, dtype=jnp.float32)
+    want = plain.score_images(imgs)
+
+    mesh = get_mesh(model_parallel=2)  # (data=4, model=2)
+    dp = ImageScoringService(
+        model, variables, SIZE, batch=4, dtype=jnp.float32, mesh=mesh
+    )
+    assert dp.batch == 4  # already a multiple of data=4
+    np.testing.assert_array_equal(dp.score_images(imgs), want)
+
+    sp = ImageScoringService(
+        model, variables, SIZE, batch=4, dtype=jnp.float32, mesh=mesh, spatial=True
+    )
+    np.testing.assert_allclose(sp.score_images(imgs), want, rtol=5e-4, atol=1e-7)
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        ImageScoringService(model, variables, SIZE, batch=4, spatial=True)
+    with pytest.raises(ValueError, match="divide"):
+        # H=48 -> H/16=3 latent rows do not split over model axis of 2
+        ImageScoringService(model, variables, 48, batch=4, mesh=mesh, spatial=True)
+
+
 def test_video_mode_rejects_image_endpoint(server):
     status, _ = _req(server, "POST", "/v1/images",
                      body=b"", headers={"X-Frames-Shape": "0,1,1,3"})

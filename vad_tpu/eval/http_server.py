@@ -47,12 +47,24 @@ class ImageScoringService:
 
     Requests are padded to a fixed device batch and serialized through
     one lock — the jitted step keeps a single static shape.
+
+    ``mesh``: score data-parallel over the 'data' axis (each chip takes
+    batch/data_n images; shard_map, zero collectives, bitwise identical
+    to single-chip — see parallel.sharding.data_parallel_jit).  The
+    batch is rounded up to a multiple of the data-axis size.
+
+    ``spatial``: additionally split image ROWS over the 'model' axis —
+    the conv autoencoder is fully convolutional, so XLA's SPMD
+    partitioner inserts exact halo exchanges at every conv/pool shard
+    edge (same design as MultiStreamScorer's spatial mode; for the
+    stateless image model there is no recurrence, so GSPMD handles the
+    whole step).  Requires H and H/16 divisible by the 'model' size.
     """
 
     kind = "image"
 
     def __init__(self, model, variables, image_size: int, batch: int = 32,
-                 dtype=None) -> None:
+                 dtype=None, mesh=None, spatial: bool = False) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -61,9 +73,29 @@ class ImageScoringService:
 
         dtype = dtype or jnp.bfloat16
         self.image_size = image_size
-        self.batch = batch
         self.dtype = dtype
+        self.mesh = mesh
+        self.spatial = spatial
         variables = cast_floating(variables, dtype) if dtype != jnp.float32 else variables
+        if spatial and mesh is None:
+            raise ValueError("spatial=True requires a mesh")
+        if mesh is not None:
+            from vad_tpu.parallel.sharding import (
+                MODEL_AXIS,
+                padded_batch_size,
+                replicate_sharding,
+            )
+
+            batch = padded_batch_size(batch, mesh)
+            if spatial:
+                model_n = mesh.shape[MODEL_AXIS]
+                if image_size % (16 * model_n):
+                    raise ValueError(
+                        f"H={image_size} and H/16 must divide by the "
+                        f"'{MODEL_AXIS}' axis of size {model_n}"
+                    )
+            variables = jax.device_put(variables, replicate_sharding(mesh))
+        self.batch = batch
 
         def score(v, u8):
             x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
@@ -71,7 +103,23 @@ class ImageScoringService:
                 v, x, method=ConvAutoencoder.reconstruction_error
             ).astype(jnp.float32)
 
-        self._score = jax.jit(score)
+        if spatial:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vad_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS, replicate_sharding
+
+            self._score = jax.jit(
+                score,
+                in_shardings=(
+                    replicate_sharding(mesh),
+                    NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)),  # [B, H, W, 3]
+                ),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+            )
+        else:
+            from vad_tpu.parallel.sharding import data_parallel_jit
+
+            self._score = data_parallel_jit(score, mesh)
         self._variables = variables
         self._lock = threading.Lock()
         # warm-up compile
@@ -363,23 +411,28 @@ def serve_from_checkpoint(
     checkpoints get the stateless batched image service (``num_slots``
     doubles as the image batch capacity).
 
-    ``data_parallel``: shard the video scorer's slots (and carried state)
-    over all visible chips via a 'data'-axis mesh — each chip serves
-    num_slots / n_chips independent streams with no collectives in the
-    step (see MultiStreamScorer's mesh docs).  ``num_slots`` is rounded
-    up to a multiple of the chip count.
+    ``data_parallel``: shard the scoring batch over all visible chips via
+    a 'data'-axis mesh.  Video: stream slots + carried state split over
+    chips, each chip serving num_slots / n_chips independent streams with
+    no collectives in the step (see MultiStreamScorer's mesh docs);
+    ``num_slots`` is rounded up to a multiple of the chip count.  Image:
+    each chip scores batch / n_chips images per step
+    (ImageScoringService's mesh docs).
 
     ``spatial_parallel``: additionally split image rows over a 'model'
-    mesh axis of this size (spatial partitioning for few high-resolution
-    streams; see MultiStreamScorer's ``spatial`` docs).  Implies a mesh
-    even without ``data_parallel`` and forces the XLA recurrence backend
-    (the Pallas kernel is opaque to the SPMD partitioner)."""
+    mesh axis of this size (spatial partitioning for high-resolution
+    inputs; see the ``spatial`` docs on both services).  Implies a mesh
+    even without ``data_parallel``; for video it forces the XLA
+    recurrence backend (the Pallas kernel is opaque to the SPMD
+    partitioner)."""
     import jax.numpy as jnp
 
     from vad_tpu.utils.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(checkpoint)
     print("warming up (first compile)...", flush=True)
+
+    spatial = int(spatial_parallel or 1) > 1
 
     if ckpt.get("model_type") == "image":
         from vad_tpu.core.config import ImageAEConfig
@@ -390,8 +443,14 @@ def serve_from_checkpoint(
             in_channels=icfg.in_channels, latent_dim=icfg.latent_dim, norm=icfg.norm
         )
         ivars = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+        imesh = None
+        if data_parallel or spatial:
+            from vad_tpu.parallel.sharding import get_mesh
+
+            imesh = get_mesh(model_parallel=int(spatial_parallel or 1))
         service = ImageScoringService(
-            imodel, ivars, icfg.image_size, batch=num_slots, dtype=getattr(jnp, dtype)
+            imodel, ivars, icfg.image_size, batch=num_slots, dtype=getattr(jnp, dtype),
+            mesh=imesh, spatial=spatial,
         )
         return ScoringServer(host=host, port=port, service=service)
 
@@ -404,7 +463,6 @@ def serve_from_checkpoint(
     lat = cfg.image_size // 16
 
     mesh = None
-    spatial = int(spatial_parallel or 1) > 1
     if data_parallel or spatial:
         import jax
 
