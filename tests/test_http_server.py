@@ -165,6 +165,34 @@ def test_image_model_serving():
         srv.close()
 
 
+def test_metrics_endpoint(server):
+    """/v1/metrics tracks requests, frames, device steps, latency, errors."""
+    status, m0 = _req(server, "GET", "/v1/metrics")
+    assert status == 200
+    _, r = _req(server, "POST", "/v1/streams")
+    frames = np.random.default_rng(3).integers(
+        0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8
+    )
+    _post_frames(server, r["slot"], frames)
+    _post_frames(server, r["slot"], frames)
+    status, m = _req(server, "GET", "/v1/metrics")
+    assert status == 200
+    assert m["requests"] == m0["requests"] + 2
+    assert m["frames_scored"] == m0["frames_scored"] + 2 * CHUNK
+    assert m["device_steps"] >= m0["device_steps"] + 2
+    lat = m["device_step_latency"]
+    assert lat["count"] == m["device_steps"]
+    assert sum(lat["hist_counts"]) == lat["count"]
+    assert lat["min_ms"] <= lat["mean_ms"] <= lat["max_ms"]
+    # a bad request increments the error counter
+    status, _ = _req(server, "POST", f"/v1/streams/{r['slot']}/frames",
+                     body=b"x", headers={"X-Frames-Shape": "1,1,1,3"})
+    assert status == 400
+    _, m2 = _req(server, "GET", "/v1/metrics")
+    assert m2["errors"] == m["errors"] + 1
+    _req(server, "DELETE", f"/v1/streams/{r['slot']}")
+
+
 def test_image_service_mesh_parity():
     """Image scoring under the mesh (data-parallel and data+spatial)
     matches the plain single-device service; data-parallel is bitwise

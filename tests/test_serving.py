@@ -265,6 +265,32 @@ def test_spatial_mesh_matches_plain(scorer_setup):
         assert c.sharding.spec == P("data", "model"), c.sharding
 
 
+def test_spatial_one_latent_row_per_shard(scorer_setup):
+    """model_parallel=4 on a 64px input leaves ONE latent row per shard
+    (latent 4x4 split 4 ways) — the hardest halo case: every 3x3 conv at
+    the latent level needs both neighbors' rows.  Scores must still match
+    the unsharded scorer."""
+    from jax.sharding import PartitionSpec as P
+
+    from vad_tpu.parallel.sharding import get_mesh
+
+    model, variables = scorer_setup
+    mesh = get_mesh(model_parallel=4)  # (data=2, model=4)
+    plain = MultiStreamScorer(model, variables, num_slots=2, chunk=4, image_size=64)
+    sharded = MultiStreamScorer(
+        model, variables, num_slots=2, chunk=4, image_size=64, mesh=mesh, spatial=True
+    )
+    for s in (plain, sharded):
+        s.attach(0), s.attach(1)
+    batch = np.stack([make_frames(70 + i, 4) for i in range(2)])
+    for _ in range(2):
+        want = plain.score_chunk(batch)
+        got = sharded.score_chunk(batch)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+    for h, c in sharded.states:
+        assert h.sharding.spec == P("data", "model"), h.sharding
+
+
 def test_spatial_slot_reset_keeps_layout(scorer_setup):
     """Detach/reattach under spatial sharding: fresh-stream scores and the
     ('data', 'model') state layout both survive the out-of-jit reset."""

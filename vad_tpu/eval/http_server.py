@@ -20,6 +20,8 @@ Protocol (JSON unless noted):
     POST   /v1/images                  body = raw u8 bytes, header
            X-Frames-Shape: "N,H,W,3"   -> {"scores": [N floats]} (image)
     GET    /v1/health                  -> config + live slot map
+    GET    /v1/metrics                 -> counters + device-step latency
+                                          histogram (ServiceMetrics)
 
 Image checkpoints are served statelessly through /v1/images (requests
 padded to a fixed device batch); video checkpoints through the
@@ -40,6 +42,80 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
 import numpy as np
+
+
+class ServiceMetrics:
+    """Thread-safe serving counters + device-step latency distribution.
+
+    Production observability the reference has no equivalent of (its
+    inference is batch CLI runs).  Latencies land in fixed log-spaced
+    ms buckets so the histogram is O(1) memory at any request volume;
+    the snapshot is what `GET /v1/metrics` returns.
+    """
+
+    BUCKETS_MS = (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000, 5000)
+
+    def __init__(self) -> None:
+        import time
+
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self.requests = 0
+        self.frames = 0
+        self.device_steps = 0
+        self.errors = 0
+        self._lat_count = 0
+        self._lat_sum = 0.0
+        self._lat_min = float("inf")
+        self._lat_max = 0.0
+        self._hist = [0] * (len(self.BUCKETS_MS) + 1)
+
+    def record_request(self, frames: int) -> None:
+        with self._lock:
+            self.requests += 1
+            self.frames += frames
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def record_step(self, seconds: float) -> None:
+        ms = seconds * 1e3
+        with self._lock:
+            self.device_steps += 1
+            self._lat_count += 1
+            self._lat_sum += ms
+            self._lat_min = min(self._lat_min, ms)
+            self._lat_max = max(self._lat_max, ms)
+            for i, edge in enumerate(self.BUCKETS_MS):
+                if ms <= edge:
+                    self._hist[i] += 1
+                    break
+            else:
+                self._hist[-1] += 1
+
+    def snapshot(self) -> dict:
+        import time
+
+        with self._lock:
+            lat = None
+            if self._lat_count:
+                lat = {
+                    "count": self._lat_count,
+                    "mean_ms": round(self._lat_sum / self._lat_count, 3),
+                    "min_ms": round(self._lat_min, 3),
+                    "max_ms": round(self._lat_max, 3),
+                    "hist_bucket_edges_ms": list(self.BUCKETS_MS),
+                    "hist_counts": list(self._hist),
+                }
+            return {
+                "uptime_s": round(time.time() - self._t0, 1),
+                "requests": self.requests,
+                "frames_scored": self.frames,
+                "device_steps": self.device_steps,
+                "errors": self.errors,
+                "device_step_latency": lat,
+            }
 
 
 class ImageScoringService:
@@ -122,6 +198,7 @@ class ImageScoringService:
             self._score = data_parallel_jit(score, mesh)
         self._variables = variables
         self._lock = threading.Lock()
+        self.metrics = ServiceMetrics()
         # warm-up compile
         self._score(variables, np.zeros((batch, image_size, image_size, 3), np.uint8))
 
@@ -135,16 +212,21 @@ class ImageScoringService:
             raise ValueError(f"expected uint8 [n, {expect}], got {frames.dtype} {frames.shape}")
         if n == 0:
             raise ValueError("empty batch")
+        import time
+
         out = np.empty(n, np.float64)
+        self.metrics.record_request(n)
         with self._lock:
             for lo in range(0, n, self.batch):
                 part = frames[lo : lo + self.batch]
                 padded = np.zeros((self.batch, *expect), np.uint8)
                 padded[: part.shape[0]] = part
+                t0 = time.time()
                 scores = self._score(self._variables, padded)
                 out[lo : lo + part.shape[0]] = np.asarray(
                     scores[: part.shape[0]], np.float64
                 )
+                self.metrics.record_step(time.time() - t0)
         return out
 
     def close(self) -> None:
@@ -175,6 +257,7 @@ class ScoringService:
         self._pending: Dict[int, tuple[np.ndarray, Future]] = {}
         self._wake = threading.Event()
         self._stop = False
+        self.metrics = ServiceMetrics()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -220,6 +303,7 @@ class ScoringService:
             if slot in self._pending:
                 raise RuntimeError(f"slot {slot} already has a chunk in flight")
             self._pending[slot] = (frames, fut)
+        self.metrics.record_request(s.chunk)
         self._wake.set()
         return fut
 
@@ -240,15 +324,20 @@ class ScoringService:
             for slot, (frames, _) in batch_items.items():
                 batch[slot] = frames
             try:
+                import time
+
                 # only submitting slots advance their carried (h, c): the
                 # scorer keeps everyone else's state inside the jitted
                 # step (their batch rows are zero padding, not frames)
                 submitted = np.zeros(s.num_slots, bool)
                 submitted[list(batch_items)] = True
+                t0 = time.time()
                 with self._scorer_lock:
                     out = s.score_chunk(batch, submitted=submitted)
                     still_active = s._active.copy()
                 scores = out[0] if isinstance(out, tuple) else out
+                np.asarray(scores)  # real device fetch = honest step time
+                self.metrics.record_step(time.time() - t0)
                 for slot, (_, fut) in batch_items.items():
                     if still_active[slot]:
                         fut.set_result(np.asarray(scores[slot], np.float64))
@@ -307,6 +396,8 @@ def _make_handler(service: ScoringService):
         def do_GET(self) -> None:
             if self.path == "/v1/health":
                 self._json(200, service.health())
+            elif self.path == "/v1/metrics":
+                self._json(200, service.metrics.snapshot())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -346,9 +437,11 @@ def _make_handler(service: ScoringService):
                     return
                 self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, RuntimeError) as exc:
+                service.metrics.record_error()
                 self._json(400, {"error": str(exc)})
             except (TimeoutError, FutureTimeoutError):
                 # FutureTimeoutError is a distinct class on Python 3.10
+                service.metrics.record_error()
                 self._json(504, {"error": "scoring timed out"})
 
         def do_DELETE(self) -> None:
