@@ -75,6 +75,7 @@ def test_evaluate_cli(trained_run):
     assert "defect: ANOMALY" in text
     assert "good: NORMAL" in text
     assert "Pixel-level AUROC:" in text  # localization metric (with GT masks)
+    assert "AUPRO" in text  # per-region-overlap localization metric
 
 
 def test_evaluate_cli_data_parallel(trained_run):

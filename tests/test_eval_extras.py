@@ -61,6 +61,57 @@ class TestNumpyFallbacks:
         assert np.isclose(np.trapezoid(tpr, fpr), metrics.auroc(labels, scores))
 
 
+class TestAupro:
+    """Per-region-overlap AUC (the standard MVTec localization metric)."""
+
+    def _fixture(self, rng):
+        masks = np.zeros((4, 64, 64))
+        masks[0, 5:15, 5:15] = 1    # large region
+        masks[0, 40:44, 40:44] = 1  # small region, same image
+        masks[1, 20:30, 50:60] = 1
+        noise = rng.normal(size=(4, 64, 64)) * 0.01
+        return masks, noise
+
+    def test_perfect_detector_is_one(self, rng):
+        masks, maps = self._fixture(rng)
+        maps[masks > 0.5] = 10.0
+        assert metrics.aupro(masks, maps) == pytest.approx(1.0)
+
+    def test_inverted_detector_is_zero(self, rng):
+        masks, maps = self._fixture(rng)
+        maps[masks > 0.5] = -10.0
+        assert metrics.aupro(masks, maps) == pytest.approx(0.0, abs=1e-6)
+
+    def test_chance_is_near_fpr_half(self, rng):
+        # at chance, PRO(fpr) ~ fpr, so normalized AUC to 0.3 -> ~0.15
+        masks, _ = self._fixture(rng)
+        got = metrics.aupro(masks, rng.normal(size=masks.shape))
+        assert 0.05 < got < 0.3
+
+    def test_small_region_weighs_like_large(self, rng):
+        """Missing the 16px region costs the same as missing the 100px one
+        — the property pixel AUROC does not have."""
+        masks, base = self._fixture(rng)
+        hit_large = base.copy()
+        hit_large[0, 5:15, 5:15] = 10.0
+        hit_large[1, 20:30, 50:60] = 10.0  # small region missed
+        hit_small = base.copy()
+        hit_small[0, 40:44, 40:44] = 10.0
+        hit_small[1, 20:30, 50:60] = 10.0  # large region missed
+        a_large = metrics.aupro(masks, hit_large)
+        a_small = metrics.aupro(masks, hit_small)
+        # both ~2/3 of perfect (2 of 3 components found), within noise
+        assert a_large == pytest.approx(a_small, abs=0.05)
+        assert 0.55 < a_large < 0.75
+
+    def test_no_defects_is_nan(self, rng):
+        assert np.isnan(metrics.aupro(np.zeros((2, 8, 8)), rng.normal(size=(2, 8, 8))))
+
+    def test_shape_mismatch_raises(self, rng):
+        with pytest.raises(ValueError, match="masks"):
+            metrics.aupro(np.zeros((2, 8, 8)), rng.normal(size=(2, 8, 9)))
+
+
 def test_separation_ratio_edge_cases():
     assert metrics.separation_ratio([], [1.0]) == 0.0
     assert metrics.separation_ratio([1.0], []) == 0.0

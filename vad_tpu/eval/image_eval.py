@@ -114,17 +114,27 @@ def compute_scores(
     return np.concatenate(labels), np.concatenate(scores), defects
 
 
-def compute_pixel_auroc(
+def compute_localization(
     model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0,
     mesh=None,
-) -> float:
-    """Pixel-level localization AUROC against the ground-truth masks.
+) -> Dict[str, float]:
+    """Localization metrics against the ground-truth masks, one device pass.
 
     Beyond-reference capability (the reference loads GT masks but never
-    scores localization): per-pixel error maps vs binarized masks over
-    the whole test split.  ``score_smooth`` applies the same Gaussian blur
-    the image score used, so both numbers come from the same maps.
+    scores localization).  Returns:
+    - ``pixel_auroc``: per-pixel error maps vs binarized masks over the
+      whole test split;
+    - ``aupro``: area under the per-region-overlap curve to FPR 0.3
+      (eval.metrics.aupro) — the standard MVTec metric where every
+      connected defect region counts equally, so small defects are not
+      drowned out by large ones the way they are in pixel AUROC.
+
+    ``score_smooth`` applies the same Gaussian blur the image score used,
+    so all numbers come from the same maps.  NaN for a metric its inputs
+    cannot support (single-class masks / no defect components).
     """
+    from vad_tpu.eval.metrics import aupro as _aupro
+
     if mesh is not None:
         from vad_tpu.parallel.sharding import padded_batch_size
 
@@ -140,17 +150,30 @@ def compute_pixel_auroc(
         return err
 
     maps_step = data_parallel_jit(maps_step, mesh)
-    scores, labels = [], []
+    all_maps, all_masks = [], []
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
         err = np.asarray(maps_step(variables, padded["image"]))[:n_real]
-        scores.append(err.reshape(-1))
-        labels.append((np.asarray(batch["mask"]) > 0.5).astype(np.int64).reshape(-1))
-    scores = np.concatenate(scores)
-    labels = np.concatenate(labels)
-    if labels.min() == labels.max():
-        return float("nan")
-    return auroc(labels, scores)
+        all_maps.append(err)
+        all_masks.append(np.asarray(batch["mask"]) > 0.5)
+    maps = np.concatenate(all_maps)
+    masks = np.concatenate(all_masks)
+    flat_labels = masks.astype(np.int64).reshape(-1)
+    if flat_labels.min() == flat_labels.max():
+        pixel = float("nan")
+    else:
+        pixel = auroc(flat_labels, maps.reshape(-1))
+    return {"pixel_auroc": pixel, "aupro": _aupro(masks, maps)}
+
+
+def compute_pixel_auroc(
+    model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0,
+    mesh=None,
+) -> float:
+    """Pixel-level localization AUROC (see compute_localization)."""
+    return compute_localization(
+        model, variables, test_ds, batch_size, score_smooth, mesh
+    )["pixel_auroc"]
 
 
 def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
@@ -189,10 +212,11 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
 
 
 def write_results_txt(
-    path: Path, score: float, breakdown: Dict[str, Dict], pixel_score: float = float("nan")
+    path: Path, score: float, breakdown: Dict[str, Dict],
+    pixel_score: float = float("nan"), aupro_score: float = float("nan"),
 ) -> None:
     """reference evaluate.py:273-278 format (leading lines byte-compatible;
-    pixel AUROC appended as an extra trailing line when available)."""
+    localization metrics appended as extra trailing lines when available)."""
     with open(path, "w") as f:
         f.write(f"AUROC: {score:.4f}\n\n")
         f.write("Per-defect breakdown:\n")
@@ -204,6 +228,8 @@ def write_results_txt(
             )
         if np.isfinite(pixel_score):
             f.write(f"\nPixel-level AUROC: {pixel_score:.4f}\n")
+        if np.isfinite(aupro_score):
+            f.write(f"AUPRO (FPR<=0.3): {aupro_score:.4f}\n")
 
 
 def evaluate(args: Any) -> float:
@@ -251,14 +277,17 @@ def evaluate(args: Any) -> float:
         score = 0.0
         print("Cannot compute AUROC - only one class present")
     breakdown = per_defect_breakdown(labels, scores, defects)
-    pixel_score = compute_pixel_auroc(
+    loc = compute_localization(
         model, variables, test_ds, score_smooth=score_smooth, mesh=mesh
     )
+    pixel_score = loc["pixel_auroc"]
 
     print(f"\n{'=' * 50}")
     print(f"AUROC: {score:.4f}")
     if np.isfinite(pixel_score):
         print(f"Pixel-level AUROC: {pixel_score:.4f}")
+    if np.isfinite(loc["aupro"]):
+        print(f"AUPRO (FPR<=0.3): {loc['aupro']:.4f}")
     print(f"{'=' * 50}")
     print("\nPer-defect-type breakdown:")
     print("-" * 40)
@@ -275,7 +304,9 @@ def evaluate(args: Any) -> float:
     plot_score_distribution(labels, scores, output_dir / "score_distribution.png")
     rows = make_reconstruction_rows(model, variables, test_ds)
     plot_reconstruction_grid(rows, output_dir / "reconstructions.png")
-    write_results_txt(output_dir / "results.txt", score, breakdown, pixel_score)
+    write_results_txt(
+        output_dir / "results.txt", score, breakdown, pixel_score, loc["aupro"]
+    )
 
     print(f"\nResults saved to: {output_dir}")
     return score

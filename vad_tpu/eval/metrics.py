@@ -72,6 +72,95 @@ def roc_points(labels: np.ndarray, scores: np.ndarray) -> Tuple[np.ndarray, np.n
     return fpr, tpr
 
 
+def _label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    """4-connected component labeling; scipy when present, else BFS."""
+    try:
+        from scipy.ndimage import label as _sp_label
+
+        lab, k = _sp_label(mask)
+        return lab, int(k)
+    except ImportError:  # pragma: no cover - scipy is in the image
+        h, w = mask.shape
+        lab = np.zeros((h, w), np.int32)
+        k = 0
+        for i in range(h):
+            for j in range(w):
+                if mask[i, j] and not lab[i, j]:
+                    k += 1
+                    stack = [(i, j)]
+                    lab[i, j] = k
+                    while stack:
+                        a, b = stack.pop()
+                        for x, y in ((a + 1, b), (a - 1, b), (a, b + 1), (a, b - 1)):
+                            if 0 <= x < h and 0 <= y < w and mask[x, y] and not lab[x, y]:
+                                lab[x, y] = k
+                                stack.append((x, y))
+        return lab, k
+
+
+def aupro(
+    masks: np.ndarray,
+    error_maps: np.ndarray,
+    fpr_limit: float = 0.3,
+    num_thresholds: int = 256,
+) -> float:
+    """Area under the Per-Region-Overlap curve up to ``fpr_limit``, /fpr_limit.
+
+    The standard MVTec-AD localization metric (Bergmann et al., IJCV'21)
+    the reference never computes: unlike pixel AUROC — which large defects
+    dominate — PRO averages, per threshold, the overlap |component ∩
+    prediction| / |component| over every connected GT defect region, so a
+    missed small scratch costs as much as a missed large one.  The curve
+    is traced against the false-positive rate on normal pixels and
+    integrated to ``fpr_limit`` (0.3 is the literature's convention),
+    then normalized so 1.0 is perfect.
+
+    Pure host-side numpy: components' and normal pixels' scores are
+    sorted once, every threshold is then two binary searches.  Thresholds
+    are normal-score quantiles, sampling FPR uniformly on [0, fpr_limit].
+    Returns NaN when there are no defect components or no normal pixels.
+    """
+    masks = np.asarray(masks) > 0.5
+    maps = np.asarray(error_maps, np.float64)
+    if masks.shape != maps.shape:
+        raise ValueError(f"masks {masks.shape} vs error maps {maps.shape}")
+
+    comp_scores = []
+    for m, e in zip(masks, maps):
+        if not m.any():
+            continue
+        lab, k = _label_components(m)
+        for c in range(1, k + 1):
+            comp_scores.append(np.sort(e[lab == c]))
+    normal_scores = np.sort(maps[~masks])
+    if not comp_scores or normal_scores.size == 0:
+        return float("nan")
+
+    n_norm = normal_scores.size
+    qs = np.linspace(1.0, 1.0 - fpr_limit, num_thresholds)
+    thresholds = np.quantile(normal_scores, qs)
+    fprs = 1.0 - np.searchsorted(normal_scores, thresholds, side="left") / n_norm
+    pros = np.zeros(len(thresholds))
+    for cs in comp_scores:
+        pros += 1.0 - np.searchsorted(cs, thresholds, side="left") / cs.size
+    pros /= len(comp_scores)
+
+    order = np.argsort(fprs)
+    fprs, pros = fprs[order], pros[order]
+    # anchor at FPR=0 (threshold above every normal pixel -> overlap is
+    # whatever the components still catch; conservatively reuse the first
+    # measured point) and clip the tail at fpr_limit by interpolation
+    fprs = np.concatenate([[0.0], fprs])
+    pros = np.concatenate([[pros[0]], pros])
+    keep = fprs <= fpr_limit
+    f_kept, p_kept = fprs[keep], pros[keep]
+    if f_kept[-1] < fpr_limit and keep.sum() < len(fprs):
+        p_edge = np.interp(fpr_limit, fprs, pros)
+        f_kept = np.concatenate([f_kept, [fpr_limit]])
+        p_kept = np.concatenate([p_kept, [p_edge]])
+    return float(np.trapezoid(p_kept, f_kept) / fpr_limit)
+
+
 def separation_ratio(normal_scores: Sequence[float], anomaly_scores: Sequence[float]) -> float:
     """mean(anomaly) / mean(normal) — the reference's model-selection and
     monitoring metric (train.py:195, train_video.py:209)."""
