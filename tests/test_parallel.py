@@ -185,3 +185,53 @@ def test_tp_matches_dp_only_loss_multi_step():
     np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4)
     assert len(moment_specs[1]) == 8, moment_specs[1]  # 4 tensors x (mu, nu)
     assert moment_specs[0] == []  # dp-only mesh: nothing model-sharded
+
+
+def test_bf16_under_tensor_parallel():
+    """--precision bf16 composes with model_parallel=2: the bf16 cast happens
+    inside the objective AFTER the tp shardings are pinned, so gate-kernel
+    shards cast locally and the loss tracks the f32 tp run to bf16 tolerance;
+    master params/moments stay f32 and keep their tp placement."""
+    model = VideoAutoencoder(latent_dim=128, lstm_hidden_dim=128, lstm_layers=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 32, 32, 3)), train=False)
+    rng = np.random.default_rng(1)
+    batches = [
+        rng.normal(size=(8, 2, 32, 32, 3)).astype(np.float32) * 0.5 for _ in range(2)
+    ]
+
+    losses = {}
+    for compute_dtype in (None, jnp.bfloat16):
+        mesh = get_mesh(model_parallel=2)
+        fresh = jax.tree.map(np.array, variables)
+        state = create_train_state(model, fresh, 1e-4)
+        sh = train_state_shardings(state, mesh)
+        state = state.replace(
+            params=jax.tree.map(jax.device_put, state.params, sh.params),
+            batch_stats=jax.device_put(state.batch_stats, replicate_sharding(mesh)),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state, sh.opt_state),
+        )
+        step = make_train_step(
+            mse_per_sample, mesh=mesh, state_shardings=sh,
+            compute_dtype=compute_dtype,
+        )
+        per_step = []
+        for x in batches:
+            xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+            state, loss = step(state, xd, jnp.asarray(8))
+            per_step.append(float(loss))
+        losses[compute_dtype] = per_step
+
+        if compute_dtype is not None:
+            for leaf in jax.tree.leaves((state.params, state.opt_state)):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+                    assert leaf.dtype == jnp.float32
+            tp_sharded = [
+                leaf for leaf in jax.tree.leaves(state.opt_state)
+                if hasattr(leaf, "sharding")
+                and getattr(leaf.sharding, "spec", P()) != P()
+            ]
+            assert len(tp_sharded) == 8  # 4 gate tensors x (mu, nu)
+
+    np.testing.assert_allclose(
+        losses[None], losses[jnp.bfloat16], rtol=0.02
+    )

@@ -99,6 +99,128 @@ class TestTrainStep:
         state, _ = step(state, x, jnp.asarray(8))  # same compiled fn
 
 
+class TestMixedPrecision:
+    """--precision bf16: compute in bfloat16, master state stays float32."""
+
+    def test_bf16_state_stays_f32_and_loss_tracks_f32(self):
+        model, state_a = small_state()
+        _, state_b = small_state()
+        x = np.random.default_rng(2).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.3
+        step_f32 = make_train_step(mse_per_sample, get_mesh())
+        step_bf16 = make_train_step(
+            mse_per_sample, get_mesh(), compute_dtype=jnp.bfloat16
+        )
+        state_a, loss_a = step_f32(state_a, jnp.asarray(x), jnp.asarray(8))
+        state_b, loss_b = step_bf16(state_b, jnp.asarray(x), jnp.asarray(8))
+        # same initial weights -> first-step losses agree to bf16 tolerance
+        assert abs(float(loss_a) - float(loss_b)) / float(loss_a) < 0.02
+        # master params, moments, and BN stats remain f32 after a bf16 step
+        for leaf in jax.tree.leaves((state_b.params, state_b.opt_state,
+                                     state_b.batch_stats)):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+        # and the step actually updated the params
+        diffs = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            state_a.params, state_b.params,
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-2  # trajectories stay close
+
+    def test_bf16_training_converges(self):
+        model, state = small_state(lr=3e-3)
+        step = make_train_step(
+            mse_per_sample, get_mesh(), compute_dtype=jnp.bfloat16
+        )
+        x = np.random.default_rng(0).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.3
+        first = None
+        for _ in range(30):
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(8))
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.7
+
+    def test_bf16_video_step(self):
+        from vad_tpu.models.video_autoencoder import VideoAutoencoder
+
+        model = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32)
+        x = np.random.default_rng(3).normal(size=(8, 3, 32, 32, 3)).astype(np.float32)
+        variables = model.init(jax.random.key(0), jnp.asarray(x[:1, :2]), train=False)
+        state = create_train_state(model, variables, 1e-3)
+        step = make_train_step(
+            mse_per_sample, get_mesh(), compute_dtype=jnp.bfloat16
+        )
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(8))
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+
+
+class TestGradAccum:
+    """--accum-steps: scanned microbatches, one Adam update per batch."""
+
+    @staticmethod
+    def group_state(lr=1e-3):
+        # GroupNorm normalizes per sample, so accumulation is EXACTLY
+        # equivalent to the full batch (BatchNorm's microbatch statistics
+        # are the one documented difference)
+        model = ConvAutoencoder(latent_dim=32, norm="group")
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        return model, create_train_state(model, variables, lr)
+
+    def test_accum_matches_full_batch_groupnorm(self):
+        x = np.random.default_rng(5).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.3
+        trajectories = []
+        for accum in (1, 2, 4):
+            _, state = self.group_state()
+            step = make_train_step(mse_per_sample, get_mesh(), accum_steps=accum)
+            losses = []
+            for _ in range(3):
+                state, loss = step(state, jnp.asarray(x), jnp.asarray(8))
+                losses.append(float(loss))
+            trajectories.append(losses)
+        # step 1 agrees to float-exactness; later steps drift only by
+        # gradient summation ORDER (scan adds vs one fused reduce), which
+        # Adam's rsqrt amplifies — observed ~1e-4 relative by step 3
+        np.testing.assert_allclose(
+            trajectories[0][0], [trajectories[1][0], trajectories[2][0]], rtol=1e-6
+        )
+        np.testing.assert_allclose(trajectories[0], trajectories[1], rtol=1e-3)
+        np.testing.assert_allclose(trajectories[0], trajectories[2], rtol=1e-3)
+
+    def test_accum_respects_padding_mask(self):
+        # n_real=5 with accum=2: microbatch 2 is mostly padding; the padded
+        # tail must not contribute to loss or gradients
+        x = np.random.default_rng(6).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.3
+        x[5:] = 99.0  # poison the padded tail
+        losses = {}
+        for accum in (1, 2):
+            _, state = self.group_state()
+            step = make_train_step(mse_per_sample, get_mesh(), accum_steps=accum)
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(5))
+            losses[accum] = float(loss)
+        assert abs(losses[1] - losses[2]) / abs(losses[1]) < 1e-5
+        assert losses[1] < 10.0  # poison (avg ~1e4 loss) did not leak in
+
+    def test_accum_batchnorm_converges_and_composes_with_bf16(self):
+        _, state = small_state(lr=3e-3)
+        step = make_train_step(
+            mse_per_sample, get_mesh(), accum_steps=2,
+            compute_dtype=jnp.bfloat16,
+        )
+        x = np.random.default_rng(7).normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.3
+        first = None
+        for _ in range(30):
+            state, loss = step(state, jnp.asarray(x), jnp.asarray(8))
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first * 0.7
+        for leaf in jax.tree.leaves((state.params, state.opt_state)):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         model, state = small_state()

@@ -40,6 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Raise on the first NaN produced on device")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Write a jax.profiler trace of one epoch here")
+    parser.add_argument("--precision", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="Train-step compute precision: f32 (reference "
+                             "parity) or bf16 mixed precision (f32 master "
+                             "weights/moments, bf16 forward+backward)")
+    parser.add_argument("--accum-steps", type=int, default=1, dest="accum_steps",
+                        help="Gradient accumulation: split each batch into N "
+                             "microbatches scanned inside one compiled step "
+                             "(activation memory of one microbatch, one Adam "
+                             "update per batch)")
     return parser
 
 

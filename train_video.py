@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize ConvLSTM steps in backward "
                              "(constant activation memory over sequence length)")
+    parser.add_argument("--precision", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="Train-step compute precision: f32 (reference "
+                             "parity) or bf16 mixed precision (f32 master "
+                             "weights/moments, bf16 forward+backward)")
+    parser.add_argument("--accum-steps", type=int, default=1, dest="accum_steps",
+                        help="Gradient accumulation: split each batch into N "
+                             "microbatches scanned inside one compiled step "
+                             "(activation memory of one microbatch, one Adam "
+                             "update per batch; composes with --remat)")
     return parser
 
 

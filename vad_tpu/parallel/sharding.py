@@ -209,10 +209,15 @@ def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
-def padded_batch_size(batch_size: int, mesh: Mesh) -> int:
+def padded_batch_size(batch_size: int, mesh: Mesh, accum_steps: int = 1) -> int:
     """Smallest multiple of the data-axis size >= batch_size (static jit
-    shape that every device can take an equal slice of)."""
-    n = mesh.shape[DATA_AXIS]
+    shape that every device can take an equal slice of).
+
+    With ``accum_steps`` > 1 the multiple is data_axis * accum_steps, so
+    every gradient-accumulation microbatch itself divides evenly over the
+    'data' axis (train.steps.make_train_step reshapes the global batch to
+    [accum, B/accum, ...])."""
+    n = mesh.shape[DATA_AXIS] * max(1, accum_steps)
     return ((batch_size + n - 1) // n) * n
 
 

@@ -38,7 +38,9 @@ from vad_tpu.data.loader import DistributedLoader
 from vad_tpu.models.autoencoder import ConvAutoencoder
 from vad_tpu.ops.losses import make_per_sample_loss_fn
 from vad_tpu.parallel.multihost import to_host
-from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
+from vad_tpu.parallel.sharding import (
+    get_mesh, padded_batch_size, train_state_shardings,
+)
 from vad_tpu.train.state import (
     ReduceLROnPlateau,
     create_train_state,
@@ -118,10 +120,12 @@ def train(args: Any) -> Dict[str, Any]:
 
     # drop the tail batch when possible: padded duplicates are masked out
     # of the loss but would still skew train-mode BatchNorm statistics
+    accum_steps = max(1, int(getattr(args, "accum_steps", 1) or 1))
     train_loader = DistributedLoader(
         train_ds, args.batch_size, mesh, shuffle=True,
         num_workers=args.num_workers, seed=0,
         drop_remainder=len(train_ds) >= args.batch_size,
+        pad_to=padded_batch_size(args.batch_size, mesh, accum_steps),
     )
     test_loader = DistributedLoader(
         test_ds, args.batch_size, mesh, num_workers=args.num_workers
@@ -151,8 +155,15 @@ def train(args: Any) -> Dict[str, Any]:
     from vad_tpu.train.steps import u8_normalize
 
     state_sh = train_state_shardings(state, mesh)
+    precision = getattr(args, "precision", "f32") or "f32"
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    if compute_dtype is not None:
+        print("Precision: bf16 mixed (f32 master weights)")
+    if accum_steps > 1:
+        print(f"Gradient accumulation: {accum_steps} microbatches/step")
     train_step = make_train_step(
-        per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh
+        per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh,
+        compute_dtype=compute_dtype, accum_steps=accum_steps,
     )
     eval_step = make_eval_step(
         per_sample_loss, ConvAutoencoder.reconstruction_error, mesh,

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from vad_tpu.parallel.sharding import batch_sharding, replicate_sharding
+from vad_tpu.utils.precision import cast_floating
 
 
 def u8_normalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -28,7 +29,8 @@ def u8_normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_train_step(
-    per_sample_loss_fn: Callable, mesh=None, preprocess=None, state_shardings=None
+    per_sample_loss_fn: Callable, mesh=None, preprocess=None, state_shardings=None,
+    compute_dtype=None, accum_steps=1,
 ):
     """Compiled (state, images, n_real) -> (state, loss) step.
 
@@ -45,28 +47,128 @@ def make_train_step(
     placement — required under tensor parallelism where the state is not
     uniformly replicated; defaults to fully replicated when only ``mesh``
     is given.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) enables mixed-precision
+    training: params and activations are cast to it INSIDE the
+    differentiated objective, so forward+backward convs run at the MXU's
+    bf16 rate while the master params, Adam moments, gradients (autodiff
+    accumulates them through the cast in the params' own f32), loss, and
+    BatchNorm running statistics all stay float32.  No loss scaling: bf16
+    shares float32's exponent range, so reconstruction-loss gradients
+    cannot underflow the way fp16's would (TPU-native practice; the torch
+    reference has no AMP path).  None = full f32 (reference-parity
+    default).
+
+    ``accum_steps`` > 1 enables gradient accumulation: the batch is split
+    into that many equal microbatches and a single ``lax.scan`` runs
+    forward+backward per microbatch, accumulating gradient SUMS in the
+    master f32 params' dtype, then applies ONE Adam update — so a batch
+    that doesn't fit in HBM trains with identical optimizer semantics to
+    the large batch (gradients are linear: sum-then-divide equals the
+    full-batch masked mean).  The one intentional difference, as in every
+    framework's accumulation: train-mode BatchNorm normalizes each
+    microbatch by its own statistics and the running stats advance once
+    per microbatch.  Activation memory is that of ONE microbatch (the
+    scan re-runs the forward per slice); `--remat` composes on top for
+    the video model's time axis.  The batch size must be divisible by
+    ``accum_steps``.
     """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def accum_step(state, images, n_real):
+        batch = images.shape[0]
+        if batch % accum_steps:
+            raise ValueError(
+                f"batch size {batch} not divisible by accum_steps {accum_steps}"
+            )
+        micro = batch // accum_steps
+        mask = jnp.arange(batch) < n_real
+        denom = jnp.maximum(n_real, 1).astype(jnp.float32)
+
+        def sum_objective(params, stats, mb_images, mb_mask):
+            """Masked SUM of per-sample losses over one microbatch (division
+            by n_real happens once, after accumulation)."""
+            if preprocess is not None:
+                mb_images = preprocess(mb_images)
+            if compute_dtype is not None:
+                p = cast_floating(params, compute_dtype)
+                s = cast_floating(stats, compute_dtype)
+                x = mb_images.astype(compute_dtype)
+            else:
+                p, s, x = params, stats, mb_images
+            recon, mutated = state.apply_fn(
+                {"params": p, "batch_stats": s}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            losses = per_sample_loss_fn(
+                recon.astype(jnp.float32), mb_images.astype(jnp.float32)
+            )
+            loss_sum = jnp.sum(jnp.where(mb_mask, losses, 0.0))
+            # scan-carry dtype stability: stats return in their master dtype
+            new_stats = jax.tree.map(
+                lambda new, old: new.astype(old.dtype), mutated["batch_stats"], stats
+            )
+            return loss_sum, new_stats
+
+        xs = (
+            images.reshape(accum_steps, micro, *images.shape[1:]),
+            mask.reshape(accum_steps, micro),
+        )
+        grad_fn = jax.value_and_grad(sum_objective, has_aux=True)
+
+        def body(carry, x):
+            g_acc, stats, l_acc = carry
+            mb_images, mb_mask = x
+            (loss_sum, new_stats), g = grad_fn(state.params, stats, mb_images, mb_mask)
+            return (
+                jax.tree.map(jnp.add, g_acc, g),
+                new_stats,
+                l_acc + loss_sum,
+            ), None
+
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        (g_sum, new_stats, loss_sum), _ = jax.lax.scan(
+            body, (g0, state.batch_stats, jnp.float32(0.0)), xs
+        )
+        grads = jax.tree.map(lambda g: g / denom, g_sum)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, loss_sum / denom
 
     def step(state, images, n_real):
         if preprocess is not None:
             images = preprocess(images)
         mask = jnp.arange(images.shape[0]) < n_real
         denom = jnp.maximum(n_real, 1).astype(jnp.float32)
+        images_c = images if compute_dtype is None else images.astype(compute_dtype)
 
         def objective(params):
+            if compute_dtype is not None:
+                params = cast_floating(params, compute_dtype)
+                stats = cast_floating(state.batch_stats, compute_dtype)
+            else:
+                stats = state.batch_stats
             recon, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
+                {"params": params, "batch_stats": stats},
+                images_c,
                 train=True,
                 mutable=["batch_stats"],
             )
-            losses = per_sample_loss_fn(recon, images)
+            # loss in f32 regardless of compute dtype: per-sample SSIM /
+            # MSE reductions over 256x256 maps lose precision in bf16
+            losses = per_sample_loss_fn(
+                recon.astype(jnp.float32), images.astype(jnp.float32)
+            )
             loss = jnp.sum(jnp.where(mask, losses, 0.0)) / denom
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params
         )
+        if compute_dtype is not None:
+            new_stats = jax.tree.map(
+                lambda new, old: new.astype(old.dtype), new_stats, state.batch_stats
+            )
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, loss
 
@@ -83,7 +185,8 @@ def make_train_step(
         kwargs["out_shardings"] = (state_sh, replicate_sharding(mesh))
     # donate only the state: params/opt buffers are reused in place; the
     # image batch has no same-shape output to alias.
-    return jax.jit(step, donate_argnums=(0,), **kwargs)
+    return jax.jit(accum_step if accum_steps > 1 else step,
+                   donate_argnums=(0,), **kwargs)
 
 
 def make_eval_step(

@@ -35,7 +35,9 @@ from vad_tpu.data.loader import DistributedLoader
 from vad_tpu.data.video_dataset import detect_video_dataset_class
 from vad_tpu.models.video_autoencoder import VideoAutoencoder
 from vad_tpu.parallel.multihost import to_host
-from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
+from vad_tpu.parallel.sharding import (
+    get_mesh, padded_batch_size, train_state_shardings,
+)
 from vad_tpu.train.state import (
     ReduceLROnPlateau,
     create_train_state,
@@ -75,10 +77,12 @@ def train(args: Any) -> Dict[str, Any]:
 
     # drop the tail batch when possible: padded duplicates are masked out
     # of the loss but would still skew train-mode BatchNorm statistics
+    accum_steps = max(1, int(getattr(args, "accum_steps", 1) or 1))
     train_loader = DistributedLoader(
         train_ds, args.batch_size, mesh, shuffle=True,
         num_workers=args.num_workers, seed=0,
         drop_remainder=len(train_ds) >= args.batch_size,
+        pad_to=padded_batch_size(args.batch_size, mesh, accum_steps),
     )
     test_loader = DistributedLoader(
         test_ds, args.batch_size, mesh, num_workers=args.num_workers
@@ -129,8 +133,15 @@ def train(args: Any) -> Dict[str, Any]:
 
     state = create_train_state(model, variables, args.lr, weight_decay=1e-5)
     state_sh = train_state_shardings(state, mesh)
+    precision = getattr(args, "precision", "f32") or "f32"
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    if compute_dtype is not None:
+        print("Precision: bf16 mixed (f32 master weights)")
+    if accum_steps > 1:
+        print(f"Gradient accumulation: {accum_steps} microbatches/step")
     train_step = make_train_step(
-        per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh
+        per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh,
+        compute_dtype=compute_dtype, accum_steps=accum_steps,
     )
     eval_step = make_eval_step(
         per_sample_loss, score_method, mesh,
