@@ -104,6 +104,29 @@ class TestAupro:
         assert a_large == pytest.approx(a_small, abs=0.05)
         assert 0.55 < a_large < 0.75
 
+    def test_constant_map_scores_at_chance_not_perfect(self, rng):
+        """A zero-information (constant) error map must NOT get a perfect
+        curve: every threshold ties, the lowest measured FPR is 1.0, and
+        the FPR=0 anchor must be the PRO actually achieved above the top
+        normal score (0 here) — regression for the anchor bug that
+        returned 1.0."""
+        masks, _ = self._fixture(rng)
+        got = metrics.aupro(masks, np.full(masks.shape, 3.14))
+        assert got == pytest.approx(0.15, abs=0.02)  # linear chance curve
+
+    def test_quantized_map_not_inflated(self, rng):
+        """Binary scores with 1 of 3 components found: the FPR=0 anchor is
+        PRO=1/3 (what a threshold above every normal pixel achieves) and
+        the only measured point is (FPR=1, PRO=1), so the clipped curve is
+        the linear interpolation 1/3 + fpr*2/3 -> area/0.3 = 0.4333 — far
+        from the 1.0 the old anchor reported, above the 1/3 floor."""
+        masks, maps = self._fixture(rng)
+        maps[:] = 0.0
+        maps[0, 5:15, 5:15] = 1.0  # only the large region scores high
+        got = metrics.aupro(masks, maps)
+        expected = (1 / 3 + (1 / 3 + 0.3 * 2 / 3)) / 2  # trapezoid on [0, .3]
+        assert got == pytest.approx(expected, abs=1e-6)
+
     def test_no_defects_is_nan(self, rng):
         assert np.isnan(metrics.aupro(np.zeros((2, 8, 8)), rng.normal(size=(2, 8, 8))))
 

@@ -161,6 +161,16 @@ def test_image_model_serving():
         status, _ = _req(srv, "POST", "/v1/images", body=b"",
                          headers={"X-Frames-Shape": f"0,{SIZE},{SIZE},3"})
         assert status == 400
+        # beyond the per-request cap: rejected BEFORE the body is
+        # buffered (413), no matter how large the declared shape
+        huge_n = 4 * service.MAX_STEPS_PER_REQUEST + 1
+        status, r = _req(srv, "POST", "/v1/images", body=b"",
+                         headers={"X-Frames-Shape": f"{huge_n},{SIZE},{SIZE},3"})
+        assert status == 413 and "limit" in r["error"]
+        # content-length / shape mismatch is a 400, not a crash
+        status, _ = _req(srv, "POST", "/v1/images", body=b"abc",
+                         headers={"X-Frames-Shape": f"2,{SIZE},{SIZE},3"})
+        assert status == 400
     finally:
         srv.close()
 

@@ -299,10 +299,14 @@ def render(summary: dict, dest: Path) -> None:
             )
             for side, rows in (("ref", ref), ("vad", vad))
         }
+        # prior-session draws carry no timing; render "-" instead of
+        # crashing on None when a side has only such draws
+        t_ref, t_vad = (
+            "-" if tsec[k] is None else f"{tsec[k]:.0f}" for k in ("ref", "vad")
+        )
         lines.append(
             f"| {f['name']} | {budgets[f['name']]} | {_cell(ref)} | "
-            f"{_cell(vad)} | {mark} | "
-            f"{tsec['ref']:.0f} | {tsec['vad']:.0f} |"
+            f"{_cell(vad)} | {mark} | {t_ref} | {t_vad} |"
         )
 
     # per-draw detail so no aggregate hides a raw number
@@ -366,6 +370,11 @@ def main() -> None:
     ap.add_argument("--render-only", action="store_true")
     ap.add_argument("--draws", type=int, default=None,
                     help="draws per (side, fixture); default DRAW_TARGETS")
+    ap.add_argument("--dest", default=None,
+                    help="render destination (default: the committed "
+                         "results/parity_vs_reference — only written when "
+                         "the summary holds harness runs, so rendering a "
+                         "fresh work dir cannot clobber the committed table)")
     args = ap.parse_args()
 
     work = Path(args.work_dir)
@@ -379,7 +388,16 @@ def main() -> None:
     for prior in PRIOR_DRAWS:
         if (prior["side"], prior["fixture"], prior["draw"]) not in have:
             summary["runs"].append(dict(prior))
-    dest = REPO / "results" / "parity_vs_reference"
+    if args.dest is not None:
+        dest = Path(args.dest)
+    elif any("source" not in r for r in summary["runs"]):  # harness runs carry no source tag
+        dest = REPO / "results" / "parity_vs_reference"
+    else:
+        # fresh work dir: only auto-merged prior draws exist — rendering
+        # those over the committed table would erase its harness runs
+        dest = work
+        print(f"no harness runs in {summary_path}; rendering to {dest} "
+              "(pass --dest to override)")
 
     if args.render_only:
         render(summary, dest)

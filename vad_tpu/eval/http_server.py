@@ -202,16 +202,30 @@ class ImageScoringService:
         # warm-up compile
         self._score(variables, np.zeros((batch, image_size, image_size, 3), np.uint8))
 
+    # chunking cap: one request may hold the device lock for at most this
+    # many compiled steps; larger requests get a 4xx and should be split
+    # client-side (otherwise a single huge POST could starve every other
+    # stream for minutes and buffer an unbounded body in RAM)
+    MAX_STEPS_PER_REQUEST = 64
+
     def score_images(self, frames: np.ndarray) -> np.ndarray:
         """Score ``n`` frames; requests larger than the device batch are
-        chunked into ceil(n / batch) padded device steps server-side, so a
-        client never has to know the server's compiled batch size."""
+        chunked into ceil(n / batch) padded device steps server-side (up
+        to MAX_STEPS_PER_REQUEST steps), so a client never has to know
+        the server's compiled batch size."""
         n = frames.shape[0]
         expect = (self.image_size, self.image_size, 3)
         if frames.ndim != 4 or frames.shape[1:] != expect or frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 [n, {expect}], got {frames.dtype} {frames.shape}")
         if n == 0:
             raise ValueError("empty batch")
+        limit = self.batch * self.MAX_STEPS_PER_REQUEST
+        if n > limit:
+            raise ValueError(
+                f"request of {n} frames exceeds the per-request limit of "
+                f"{limit} (batch {self.batch} x {self.MAX_STEPS_PER_REQUEST} "
+                f"steps); split the request client-side"
+            )
         import time
 
         out = np.empty(n, np.float64)
@@ -219,8 +233,11 @@ class ImageScoringService:
         with self._lock:
             for lo in range(0, n, self.batch):
                 part = frames[lo : lo + self.batch]
-                padded = np.zeros((self.batch, *expect), np.uint8)
-                padded[: part.shape[0]] = part
+                if part.shape[0] == self.batch:
+                    padded = part  # full chunk: no copy needed
+                else:
+                    padded = np.zeros((self.batch, *expect), np.uint8)
+                    padded[: part.shape[0]] = part
                 t0 = time.time()
                 scores = self._score(self._variables, padded)
                 out[lo : lo + part.shape[0]] = np.asarray(
@@ -410,7 +427,23 @@ def _make_handler(service: ScoringService):
                     shape = tuple(
                         int(v) for v in self.headers.get("X-Frames-Shape", "").split(",")
                     )
+                    # reject oversize requests BEFORE buffering the body:
+                    # the declared shape bounds both the RAM this request
+                    # may pin and the device steps it may serialize
+                    limit = service.batch * service.MAX_STEPS_PER_REQUEST
+                    if not shape or shape[0] > limit:
+                        self._json(413, {
+                            "error": f"request exceeds per-request frame "
+                                     f"limit {limit}; split client-side"
+                        })
+                        return
                     n = int(self.headers.get("Content-Length", 0))
+                    if n != int(np.prod(shape)):
+                        self._json(400, {
+                            "error": f"Content-Length {n} does not match "
+                                     f"X-Frames-Shape {shape}"
+                        })
+                        return
                     frames = np.frombuffer(self.rfile.read(n), np.uint8).reshape(shape)
                     scores = service.score_images(frames)
                     self._json(200, {"scores": list(scores)})

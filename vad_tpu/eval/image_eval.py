@@ -166,16 +166,6 @@ def compute_localization(
     return {"pixel_auroc": pixel, "aupro": _aupro(masks, maps)}
 
 
-def compute_pixel_auroc(
-    model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0,
-    mesh=None,
-) -> float:
-    """Pixel-level localization AUROC (see compute_localization)."""
-    return compute_localization(
-        model, variables, test_ds, batch_size, score_smooth, mesh
-    )["pixel_auroc"]
-
-
 def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
     """Half normal / half anomalous samples with recon + error map + mask
     (reference evaluate.py:113-131 selection policy)."""

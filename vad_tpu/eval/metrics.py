@@ -147,11 +147,18 @@ def aupro(
 
     order = np.argsort(fprs)
     fprs, pros = fprs[order], pros[order]
-    # anchor at FPR=0 (threshold above every normal pixel -> overlap is
-    # whatever the components still catch; conservatively reuse the first
-    # measured point) and clip the tail at fpr_limit by interpolation
+    # anchor at FPR=0 with the PRO actually achieved by a threshold above
+    # every normal pixel (NOT the first measured point: with tie-heavy or
+    # constant error maps the lowest measured FPR is already 1.0, and
+    # reusing its PRO would credit a zero-information detector with a
+    # perfect curve) and clip the tail at fpr_limit by interpolation
+    top = normal_scores[-1]
+    pro0 = sum(
+        1.0 - np.searchsorted(cs, top, side="right") / cs.size
+        for cs in comp_scores
+    ) / len(comp_scores)
     fprs = np.concatenate([[0.0], fprs])
-    pros = np.concatenate([[pros[0]], pros])
+    pros = np.concatenate([[pro0], pros])
     keep = fprs <= fpr_limit
     f_kept, p_kept = fprs[keep], pros[keep]
     if f_kept[-1] < fpr_limit and keep.sum() < len(fprs):

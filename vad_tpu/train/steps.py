@@ -93,10 +93,14 @@ def make_train_step(
                 mb_images = preprocess(mb_images)
             if compute_dtype is not None:
                 p = cast_floating(params, compute_dtype)
-                s = cast_floating(stats, compute_dtype)
                 x = mb_images.astype(compute_dtype)
             else:
-                p, s, x = params, stats, mb_images
+                p, x = params, mb_images
+            # running stats stay f32 uncast: train-mode BN never normalizes
+            # with them (only the EMA update reads them), and a bf16 round
+            # trip would inject ~4e-3 relative noise into the checkpointed
+            # inference statistics every step
+            s = stats
             recon, mutated = state.apply_fn(
                 {"params": p, "batch_stats": s}, x, train=True,
                 mutable=["batch_stats"],
@@ -145,9 +149,8 @@ def make_train_step(
         def objective(params):
             if compute_dtype is not None:
                 params = cast_floating(params, compute_dtype)
-                stats = cast_floating(state.batch_stats, compute_dtype)
-            else:
-                stats = state.batch_stats
+            # running stats stay f32 uncast (see sum_objective above)
+            stats = state.batch_stats
             recon, mutated = state.apply_fn(
                 {"params": params, "batch_stats": stats},
                 images_c,
