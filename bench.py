@@ -20,8 +20,10 @@ Both recurrence backends (XLA scan and the fused Pallas kernel) are
 measured and printed as separate config lines with analytic MFU (model
 FLOPs / v5e bf16 peak), at both 16- and 64-frame windows (BASELINE.json
 configs[4]), plus an image-scoring line (the /v1/images serving path) so
-the README's image figure is driver-tracked; the FINAL line is the
-headline JSON the driver parses (best video config):
+the README's image figure is driver-tracked, plus two video TRAINING-step
+lines (f32 and --precision bf16; MFU counts forward+backward as 3x
+forward FLOPs); the FINAL line is the headline JSON the driver parses
+(best video SCORING config):
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
      "mfu": ..., "flops_per_frame": ...}
 """
@@ -102,11 +104,14 @@ def image_model_flops(image_size: int = 256, latent: int = 256) -> float:
     cin = latent
     for cout in (128, 64, 32):
         res *= 4
-        f += res * cin * 4 * cout * 2      # convtranspose 2x2
+        # ConvT 2x2 stride 2: each output pixel reads ONE input pixel
+        # through one tap -> res_out * cin * cout * 2 (matches the
+        # res_in * 4 * ... convention in model_flops_per_frame)
+        f += res * cin * cout * 2
         f += res * cout * 9 * cout * 2     # refine conv 3x3
         cin = cout
     res *= 4
-    f += res * cin * 4 * 32 * 2
+    f += res * cin * 32 * 2
     f += res * 32 * 9 * 3 * 2
     return f
 
@@ -237,6 +242,48 @@ def main() -> None:
             best_dt = min(best_dt, time.time() - t0)
         return n_iters * batch / best_dt
 
+    def measure_train(compute_dtype=None, batch: int = 8, chunk_t: int = 16) -> float:
+        """Steady-state video TRAINING-step throughput (forward + backward +
+        Adam + BN-stat update, the compiled step behind train_video.py).
+        Driver-tracks the --precision bf16 mixed-precision win alongside the
+        f32 reference-parity default."""
+        from vad_tpu.ops.convlstm_pallas import preferred_backend
+        from vad_tpu.ops.losses import make_per_sample_loss_fn
+        from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
+        from vad_tpu.train.state import create_train_state
+        from vad_tpu.train.steps import make_train_step, u8_normalize
+
+        model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128))
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
+        )
+        mesh = get_mesh()
+        state = create_train_state(model, variables, 1e-4, weight_decay=1e-5)
+        step = make_train_step(
+            make_per_sample_loss_fn("mse", 0.5), mesh, preprocess=u8_normalize,
+            state_shardings=train_state_shardings(state, mesh),
+            compute_dtype=compute_dtype,
+        )
+        bufs = [
+            jnp.asarray(np.broadcast_to(
+                src[(np.arange(chunk_t) + 37 * i) % len(src)],
+                (batch, chunk_t, image_size, image_size, 3),
+            ).copy())
+            for i in range(2)
+        ]
+        n_real = jnp.asarray(batch, jnp.int32)
+        state, loss = step(state, bufs[0], n_real)
+        np.asarray(loss)  # compile barrier
+        n_iters = 8
+        best_dt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for i in range(n_iters):
+                state, loss = step(state, bufs[i % 2], n_real)
+            np.asarray(loss)
+            best_dt = min(best_dt, time.time() - t0)
+        return n_iters * batch * chunk_t / best_dt
+
     flops_frame = model_flops_per_frame(image_size)
 
     def mfu(fps: float) -> float:
@@ -268,6 +315,18 @@ def main() -> None:
         "value": round(image_fps, 1), "unit": "images/s/chip",
         "mfu": round(image_fps * image_flops / V5E_PEAK_BF16_FLOPS, 3),
     }), flush=True)
+
+    # training throughput: forward+backward+Adam ~= 3x forward FLOPs
+    for train_name, cdt in (
+        ("video training step, f32, B=8", None),
+        ("video training step, bf16 mixed precision, B=8", jnp.bfloat16),
+    ):
+        train_fps = measure_train(cdt)
+        print(json.dumps({
+            "config": train_name,
+            "value": round(train_fps, 1), "unit": "frames/s/chip",
+            "mfu": round(train_fps * 3 * flops_frame / V5E_PEAK_BF16_FLOPS, 3),
+        }), flush=True)
 
     fps = max(results.values())
 
