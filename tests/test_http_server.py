@@ -175,6 +175,115 @@ def test_image_model_serving():
         srv.close()
 
 
+def test_hot_reload_video(server, tmp_path):
+    """POST /v1/reload swaps weights in place: attached slots survive, the
+    next chunk scores under the NEW weights (differs from the old scores),
+    and mismatched checkpoints are rejected without disturbing serving."""
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    model = VideoAutoencoder()
+    frames = np.random.default_rng(11).integers(
+        0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8
+    )
+    _, a = _req(server, "POST", "/v1/streams")
+    slot = a["slot"]
+    _, r_old = _post_frames(server, slot, frames)
+
+    # same architecture, different weights
+    v2 = model.init(jax.random.key(7), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    ckpt = tmp_path / "retrained.ckpt"
+    save_checkpoint(ckpt, {"model_type": "video",
+                           "params": v2["params"],
+                           "batch_stats": v2["batch_stats"]})
+    status, r = _req(server, "POST", "/v1/reload",
+                     body=json.dumps({"checkpoint": str(ckpt)}))
+    assert status == 200 and r["model_type"] == "video"
+    status, h = _req(server, "GET", "/v1/health")
+    assert h["checkpoint"] == str(ckpt)
+    assert slot in h["active_slots"]  # stream survived the reload
+
+    status, r_new = _post_frames(server, slot, frames)
+    assert status == 200
+    assert not np.allclose(r_old["scores"], r_new["scores"])  # new weights
+
+    # architecture mismatch -> 400, serving continues on current weights
+    small = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32)
+    v3 = small.init(jax.random.key(1), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    bad = tmp_path / "wrong_arch.ckpt"
+    save_checkpoint(bad, {"model_type": "video",
+                          "params": v3["params"],
+                          "batch_stats": v3["batch_stats"]})
+    status, r = _req(server, "POST", "/v1/reload",
+                     body=json.dumps({"checkpoint": str(bad)}))
+    assert status == 400 and "architecture" in r["error"]
+    status, _ = _post_frames(server, slot, frames)
+    assert status == 200  # still serving
+
+    # image checkpoint on a video server -> 400; missing file -> 400
+    imgc = tmp_path / "image.ckpt"
+    save_checkpoint(imgc, {"model_type": "image", "params": {}})
+    status, r = _req(server, "POST", "/v1/reload",
+                     body=json.dumps({"checkpoint": str(imgc)}))
+    assert status == 400 and "image checkpoint" in r["error"]
+    status, _ = _req(server, "POST", "/v1/reload",
+                     body=json.dumps({"checkpoint": str(tmp_path / "nope.ckpt")}))
+    assert status == 400
+    status, _ = _req(server, "POST", "/v1/reload", body=b"not json")
+    assert status == 400
+    _req(server, "DELETE", f"/v1/streams/{slot}")
+
+    # restore the fixture's original weights: the module-scoped server is
+    # shared and later tests compare against direct key(0)-init scorers
+    v1 = model.init(jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    orig = tmp_path / "orig.ckpt"
+    save_checkpoint(orig, {"model_type": "video",
+                           "params": v1["params"],
+                           "batch_stats": v1["batch_stats"]})
+    status, _ = _req(server, "POST", "/v1/reload",
+                     body=json.dumps({"checkpoint": str(orig)}))
+    assert status == 200
+
+
+def test_hot_reload_image(tmp_path):
+    """Image servers reload through the same endpoint; scores afterwards
+    match a direct apply of the new weights."""
+    from vad_tpu.eval.http_server import ImageScoringService
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    model = ConvAutoencoder(latent_dim=64)
+    v1 = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    service = ImageScoringService(model, v1, SIZE, batch=4, dtype=jnp.float32)
+    srv = ScoringServer(service=service, host="127.0.0.1", port=0)
+    srv.start_background()
+    try:
+        imgs = np.random.default_rng(3).integers(
+            0, 255, size=(2, SIZE, SIZE, 3), dtype=np.uint8
+        )
+        v2 = model.init(jax.random.key(9), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+        ckpt = tmp_path / "img2.ckpt"
+        save_checkpoint(ckpt, {"model_type": "image",
+                               "params": v2["params"],
+                               "batch_stats": v2["batch_stats"]})
+        status, r = _req(srv, "POST", "/v1/reload",
+                         body=json.dumps({"checkpoint": str(ckpt)}))
+        assert status == 200 and r["model_type"] == "image"
+        status, r = _req(srv, "POST", "/v1/images", body=imgs.tobytes(),
+                         headers={"X-Frames-Shape": f"2,{SIZE},{SIZE},3"})
+        assert status == 200
+        x = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
+        want = model.apply(v2, x, method=ConvAutoencoder.reconstruction_error)
+        np.testing.assert_allclose(r["scores"], np.asarray(want), rtol=1e-4, atol=1e-6)
+        # a video checkpoint is rejected
+        bad = tmp_path / "vid.ckpt"
+        save_checkpoint(bad, {"params": {}})
+        status, r = _req(srv, "POST", "/v1/reload",
+                         body=json.dumps({"checkpoint": str(bad)}))
+        assert status == 400 and "image checkpoint" in r["error"]
+    finally:
+        srv.close()
+
+
 def test_metrics_endpoint(server):
     """/v1/metrics tracks requests, frames, device steps, latency, errors."""
     status, m0 = _req(server, "GET", "/v1/metrics")

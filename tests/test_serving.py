@@ -163,6 +163,46 @@ def test_mesh_scores_match_single_device(scorer_setup):
         assert c.sharding.spec == P("data"), c.sharding
 
 
+def test_reload_variables_mesh(scorer_setup):
+    """Hot-swapping weights on a mesh-sharded scorer re-replicates them and
+    subsequent chunks score exactly like a fresh scorer built on the new
+    weights — while carried state and slot map survive the swap."""
+    model, variables = scorer_setup
+    from vad_tpu.parallel.sharding import get_mesh
+
+    mesh = get_mesh()
+    v2 = model.init(jax.random.key(5), jnp.zeros((1, 2, 64, 64, 3)), train=False)
+
+    s = MultiStreamScorer(model, variables, num_slots=8, chunk=4, image_size=64, mesh=mesh)
+    fresh = MultiStreamScorer(model, v2, num_slots=8, chunk=4, image_size=64, mesh=mesh)
+    slot = s.attach()
+    fslot = fresh.attach()
+    assert slot == fslot
+    batch = np.zeros((8, 4, 64, 64, 3), np.uint8)
+    batch[slot] = make_frames(3, 4)
+
+    before = s.score_chunk(batch)
+    # reset the slot state so the post-reload comparison starts from the
+    # same zero state as the fresh scorer built on the new weights
+    s.detach(slot)
+    s.attach(slot)
+    s.reload_variables(v2)
+    assert list(s.active_slots) == [slot]  # slots survive the swap
+    after = s.score_chunk(batch)
+    want = fresh.score_chunk(batch)
+    assert not np.allclose(before[slot], after[slot])  # weights changed
+    np.testing.assert_array_equal(after[slot], want[slot])
+
+    # wrong architecture rejected, scorer still serves
+    tiny = VideoAutoencoder(latent_dim=16, lstm_hidden_dim=16)
+    v_bad = tiny.init(jax.random.key(2), jnp.zeros((1, 2, 64, 64, 3)), train=False)
+    with pytest.raises(ValueError, match="architecture"):
+        s.reload_variables(v_bad)
+    np.testing.assert_array_equal(
+        s.score_chunk(batch)[slot], fresh.score_chunk(batch)[slot]
+    )
+
+
 def test_mesh_slot_isolation_and_reset(scorer_setup):
     """Attach/detach on the sharded scorer: per-slot state isolation is
     preserved (idle neighbours don't advance; reattach zeroes state)."""

@@ -19,6 +19,10 @@ Protocol (JSON unless noted):
            X-Frames-Shape: "T,H,W,3"   -> {"scores": [T floats]} (video)
     POST   /v1/images                  body = raw u8 bytes, header
            X-Frames-Shape: "N,H,W,3"   -> {"scores": [N floats]} (image)
+    POST   /v1/reload                  body = {"checkpoint": "<path>"}
+           -> hot-swaps the served weights in place (both kinds): same
+           architecture reuses the compiled step, video streams keep
+           their slots and carried state
     GET    /v1/health                  -> config + live slot map
     GET    /v1/metrics                 -> counters + device-step latency
                                           histogram (ServiceMetrics)
@@ -35,6 +39,7 @@ is pending and the device is free).
 from __future__ import annotations
 
 import json
+import pickle
 import threading
 from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeoutError
@@ -246,6 +251,40 @@ class ImageScoringService:
                 self.metrics.record_step(time.time() - t0)
         return out
 
+    def reload(self, checkpoint: str) -> None:
+        """Hot-swap the served weights from a checkpoint on disk
+        (POST /v1/reload).  Same architecture -> the compiled step is
+        reused (structural shape/dtype check); in-flight requests finish
+        on the old weights, the next device step sees the new ones."""
+        import jax
+        import jax.numpy as jnp
+
+        from vad_tpu.utils.checkpoint import load_checkpoint
+        from vad_tpu.utils.precision import cast_floating
+
+        ckpt = load_checkpoint(checkpoint)
+        if ckpt.get("model_type") != "image":
+            raise ValueError(
+                "not an image checkpoint; this server serves the image model"
+            )
+        variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+        new = cast_floating(variables, self.dtype) if self.dtype != jnp.float32 else variables
+        old_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), self._variables)
+        new_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), new)
+        if old_shapes != new_shapes:
+            raise ValueError(
+                "checkpoint does not match the served architecture "
+                "(pytree/shape/dtype mismatch); restart the server to "
+                "change architectures"
+            )
+        if self.mesh is not None:
+            from vad_tpu.parallel.sharding import replicate_sharding
+
+            new = jax.device_put(new, replicate_sharding(self.mesh))
+        with self._lock:
+            self._variables = new
+            self.checkpoint = str(checkpoint)
+
     def close(self) -> None:
         pass
 
@@ -255,6 +294,7 @@ class ImageScoringService:
             "batch": self.batch,
             "image_size": self.image_size,
             "dtype": str(self.dtype),
+            "checkpoint": getattr(self, "checkpoint", None),
         }
 
 
@@ -369,6 +409,25 @@ class ScoringService:
                     if not fut.done():
                         fut.set_exception(exc)
 
+    def reload(self, checkpoint: str) -> None:
+        """Hot-swap the served weights from a checkpoint on disk
+        (POST /v1/reload).  Attached streams keep their slots and carried
+        (h, c); the swap waits only for any in-flight device step (the
+        scorer lock), so a weight refresh from a nightly retrain needs no
+        server restart and drops no streams."""
+        from vad_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(checkpoint)
+        if ckpt.get("model_type") == "image":
+            raise ValueError(
+                "image checkpoint cannot reload a video server; this "
+                "server serves the video model"
+            )
+        variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+        with self._scorer_lock:
+            self.scorer.reload_variables(variables)
+        self.checkpoint = str(checkpoint)
+
     def _fail_pending(self, exc: Exception) -> None:
         """Caller must hold self._lock."""
         for _, fut in self._pending.values():
@@ -392,6 +451,7 @@ class ScoringService:
             "dtype": str(s.dtype),
             "fused_input": bool(getattr(s, "fused_input", False)),
             "active_slots": [int(i) for i in s.active_slots],
+            "checkpoint": getattr(self, "checkpoint", None),
         }
 
 
@@ -420,6 +480,20 @@ def _make_handler(service: ScoringService):
 
         def do_POST(self) -> None:
             try:
+                if self.path == "/v1/reload":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        req = json.loads(self.rfile.read(n) or b"{}")
+                    except json.JSONDecodeError as exc:
+                        self._json(400, {"error": f"invalid JSON body: {exc}"})
+                        return
+                    path = req.get("checkpoint") if isinstance(req, dict) else None
+                    if not path:
+                        self._json(400, {"error": 'body must be {"checkpoint": "<path>"}'})
+                        return
+                    service.reload(path)
+                    self._json(200, {"reloaded": path, "model_type": service.kind})
+                    return
                 if self.path == "/v1/images":
                     if service.kind != "image":
                         self._json(400, {"error": "video model is being served; use /v1/streams"})
@@ -469,7 +543,8 @@ def _make_handler(service: ScoringService):
                     self._json(200, {"slot": slot, "scores": list(scores)})
                     return
                 self._json(404, {"error": f"unknown path {self.path}"})
-            except (KeyError, ValueError, RuntimeError) as exc:
+            except (KeyError, ValueError, RuntimeError, OSError,
+                    pickle.UnpicklingError) as exc:
                 service.metrics.record_error()
                 self._json(400, {"error": str(exc)})
             except (TimeoutError, FutureTimeoutError):
@@ -578,6 +653,7 @@ def serve_from_checkpoint(
             imodel, ivars, icfg.image_size, batch=num_slots, dtype=getattr(jnp, dtype),
             mesh=imesh, spatial=spatial,
         )
+        service.checkpoint = str(checkpoint)
         return ScoringServer(host=host, port=port, service=service)
 
     from vad_tpu.core.config import VideoAEConfig
@@ -618,4 +694,6 @@ def serve_from_checkpoint(
     # pay the jit compile before accepting traffic
     warm = np.zeros((num_slots, chunk) + scorer.image_hw + (3,), np.uint8)
     scorer.score_chunk(warm)
-    return ScoringServer(scorer, host, port)
+    server = ScoringServer(scorer, host, port)
+    server.service.checkpoint = str(checkpoint)
+    return server

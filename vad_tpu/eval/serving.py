@@ -247,6 +247,44 @@ class MultiStreamScorer:
                 )
         self._step = jax.jit(step, **kwargs)
 
+    # ------------------------------------------------------------ reload
+
+    def reload_variables(self, variables) -> None:
+        """Hot-swap the model weights in place (serving-daemon /v1/reload).
+
+        The new variables must match the served architecture exactly
+        (same pytree structure, shapes and param dtypes) so the already-
+        compiled step is reused — the swap costs one host->device
+        transfer, no recompile, no dropped streams.  Attached slots keep
+        their carried (h, c): the ConvLSTM state is a function of the
+        observed frames, and scoring continuity across a weight refresh
+        (e.g. a nightly retrain on newer normal data) is the point of
+        hot reload.  Raises ValueError on any structural mismatch —
+        an architecture change needs a new scorer/server.
+        """
+        from vad_tpu.utils.precision import cast_floating
+
+        if self.fused_input:
+            # the folded input-block weights (_w_band/_bias_folded) are
+            # closed over by the jitted step — baked in as compile-time
+            # constants — so a swap would silently not apply to them
+            raise ValueError(
+                "hot reload is not supported with fused_input=True; "
+                "restart the server"
+            )
+        new = cast_floating(variables, self.dtype) if self.dtype != jnp.float32 else variables
+        old_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), self.variables)
+        new_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), new)
+        if old_shapes != new_shapes:
+            raise ValueError(
+                "checkpoint does not match the served architecture "
+                "(pytree/shape/dtype mismatch); restart the server to "
+                "change architectures"
+            )
+        if self.mesh is not None:
+            new = jax.device_put(new, self._repl_sh)
+        self.variables = new
+
     # ------------------------------------------------------------- slots
 
     def attach(self, slot: Optional[int] = None) -> int:
