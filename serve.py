@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "size N (spatial partitioning for few high-resolution "
                         "streams; requires H and H/16 divisible by N, forces "
                         "the XLA recurrence backend)")
+    p.add_argument("--watch", type=str, default=None, metavar="PATH",
+                   help="Auto-deploy: poll this checkpoint file or results "
+                        "directory (recursive best_model.ckpt scan) and "
+                        "hot-reload the newest checkpoint with zero downtime "
+                        "whenever it changes")
+    p.add_argument("--watch-interval", type=float, default=30.0,
+                   help="Seconds between --watch polls")
     return p
 
 
@@ -54,9 +61,22 @@ def main() -> None:
     else:
         desc = f"image batches up to {h['batch']}"
     print(f"Serving {args.checkpoint} on {args.host}:{server.port} ({desc}, {h['dtype']})")
+    watcher = None
+    if args.watch:
+        from vad_tpu.eval.http_server import CheckpointWatcher
+
+        watcher = CheckpointWatcher(
+            server.service, args.watch, interval=args.watch_interval,
+            initial=args.checkpoint,
+        )
+        watcher.start()
+        print(f"Watching {args.watch} for newer checkpoints "
+              f"(every {args.watch_interval:.0f}s)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
+        if watcher is not None:
+            watcher.stop()
         server.close()
 
 

@@ -284,6 +284,57 @@ def test_hot_reload_image(tmp_path):
         srv.close()
 
 
+def test_checkpoint_watcher(tmp_path):
+    """serve.py --watch: the watcher deploys the newest best_model.ckpt in
+    a results tree, skips unchanged polls, and survives bad checkpoints."""
+    import os
+    import time
+
+    from vad_tpu.eval.http_server import CheckpointWatcher, ImageScoringService
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    model = ConvAutoencoder(latent_dim=64)
+    v1 = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    service = ImageScoringService(model, v1, SIZE, batch=4, dtype=jnp.float32)
+
+    run1 = tmp_path / "synthetic_a" / "best_model.ckpt"
+    save_checkpoint(run1, {"model_type": "image", "params": v1["params"],
+                           "batch_stats": v1["batch_stats"]})
+    watcher = CheckpointWatcher(service, tmp_path, initial=str(run1))
+    assert watcher.poll_once() is False  # the served checkpoint is current
+
+    v2 = model.init(jax.random.key(9), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    run2 = tmp_path / "synthetic_b" / "best_model.ckpt"
+    save_checkpoint(run2, {"model_type": "image", "params": v2["params"],
+                           "batch_stats": v2["batch_stats"]})
+    os.utime(run2, (time.time() + 5, time.time() + 5))  # strictly newest
+    assert watcher.poll_once() is True
+    assert service.checkpoint == str(run2)
+    assert watcher.poll_once() is False  # unchanged -> no re-deploy
+
+    # a newer but architecture-incompatible checkpoint must not take
+    # down serving; the watcher retries (and keeps failing) harmlessly
+    small = ConvAutoencoder(latent_dim=16)
+    v3 = small.init(jax.random.key(2), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    run3 = tmp_path / "synthetic_c" / "best_model.ckpt"
+    save_checkpoint(run3, {"model_type": "image", "params": v3["params"],
+                           "batch_stats": v3["batch_stats"]})
+    os.utime(run3, (time.time() + 10, time.time() + 10))
+    assert watcher.poll_once() is False
+    assert service.checkpoint == str(run2)  # still on the good weights
+    imgs = np.zeros((2, SIZE, SIZE, 3), np.uint8)
+    assert np.isfinite(service.score_images(imgs)).all()
+
+    # watching a single FILE tracks its mtime
+    watcher_f = CheckpointWatcher(service, run2, initial=str(run2))
+    assert watcher_f.poll_once() is False
+    save_checkpoint(run2, {"model_type": "image", "params": v1["params"],
+                           "batch_stats": v1["batch_stats"]})
+    os.utime(run2, (time.time() + 20, time.time() + 20))
+    assert watcher_f.poll_once() is True
+
+
 def test_metrics_endpoint(server):
     """/v1/metrics tracks requests, frames, device steps, latency, errors."""
     status, m0 = _req(server, "GET", "/v1/metrics")

@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import pickle
 import threading
+from pathlib import Path
 from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -568,6 +569,73 @@ def _make_handler(service: ScoringService):
                 self._json(400, {"error": str(exc)})
 
     return Handler
+
+
+class CheckpointWatcher:
+    """Auto-deploy loop: polls a checkpoint file or results directory and
+    hot-reloads the service when a newer checkpoint appears
+    (``serve.py --watch``).  A directory is scanned recursively for
+    ``best_model.ckpt`` files and the newest mtime wins — pointed at a
+    ``results/`` tree this auto-deploys every retrain's best model with
+    zero downtime (checkpoint writes are atomic renames, so a poll never
+    sees a half-written file).  Reload failures (architecture change,
+    unreadable file) are printed and retried on the next poll; serving
+    continues on the current weights throughout.
+    """
+
+    def __init__(self, service, path, interval: float = 30.0,
+                 initial: Optional[str] = None) -> None:
+        self.service = service
+        self.path = Path(path)
+        self.interval = interval
+        self._stop = threading.Event()
+        self._seen = None
+        if initial is not None:
+            try:
+                p = Path(initial)
+                self._seen = (str(p.resolve()), p.stat().st_mtime)
+            except OSError:
+                pass
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _newest(self):
+        from vad_tpu.utils.checkpoint import CHECKPOINT_SUFFIX
+
+        if self.path.is_file():
+            return self.path
+        if not self.path.is_dir():
+            return None
+        cands = list(self.path.rglob(f"best_model{CHECKPOINT_SUFFIX}"))
+        return max(cands, key=lambda p: p.stat().st_mtime, default=None)
+
+    def poll_once(self) -> bool:
+        """One poll step; True iff a reload happened (tests call this
+        directly so no timing is involved)."""
+        try:
+            p = self._newest()
+            if p is None:
+                return False
+            key = (str(p.resolve()), p.stat().st_mtime)
+            if key == self._seen:
+                return False
+            self.service.reload(str(p))
+            self._seen = key
+            print(f"watch: hot-reloaded {p}", flush=True)
+            return True
+        except Exception as exc:  # keep serving on the current weights
+            print(f"watch: reload of newest checkpoint failed: {exc}", flush=True)
+            return False
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            self.poll_once()
 
 
 class ScoringServer:
