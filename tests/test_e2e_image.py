@@ -56,6 +56,10 @@ def test_checkpoint_self_describing(trained_run):
     assert ckpt["args"]["image_size"] == 64
     assert ckpt["model_type"] == "image"
     assert "opt_state" in ckpt  # resume-capable
+    # calibrated anomaly threshold: p99 of the best epoch's held-out
+    # normal scores, saved for serving/UI consumption
+    assert ckpt["score_threshold"] is not None and ckpt["score_threshold"] > 0
+    assert ckpt["threshold_method"] == "p99 of validation normal scores"
 
 
 def test_evaluate_cli(trained_run):

@@ -130,6 +130,23 @@ class TestAupro:
     def test_no_defects_is_nan(self, rng):
         assert np.isnan(metrics.aupro(np.zeros((2, 8, 8)), rng.normal(size=(2, 8, 8))))
 
+
+class TestCalibrateThreshold:
+    def test_quantile_of_normal_scores(self):
+        scores = np.linspace(0.0, 1.0, 101)  # p99 == 0.99
+        assert metrics.calibrate_threshold(scores) == pytest.approx(0.99)
+        assert metrics.calibrate_threshold(scores, 0.5) == pytest.approx(0.5)
+
+    def test_empty_is_none(self):
+        assert metrics.calibrate_threshold([]) is None
+
+    def test_flags_about_one_percent_of_normals(self):
+        rng = np.random.default_rng(0)
+        normal = rng.lognormal(size=4000)
+        t = metrics.calibrate_threshold(normal)
+        fpr = float((normal > t).mean())
+        assert 0.005 < fpr < 0.015  # ~1% FPR operating point
+
     def test_shape_mismatch_raises(self, rng):
         with pytest.raises(ValueError, match="masks"):
             metrics.aupro(np.zeros((2, 8, 8)), rng.normal(size=(2, 8, 9)))

@@ -189,22 +189,29 @@ def test_hot_reload_video(server, tmp_path):
     slot = a["slot"]
     _, r_old = _post_frames(server, slot, frames)
 
-    # same architecture, different weights
+    assert "anomalous" not in r_old  # no calibrated threshold yet
+
+    # same architecture, different weights, with a calibrated threshold
     v2 = model.init(jax.random.key(7), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
     ckpt = tmp_path / "retrained.ckpt"
     save_checkpoint(ckpt, {"model_type": "video",
                            "params": v2["params"],
-                           "batch_stats": v2["batch_stats"]})
+                           "batch_stats": v2["batch_stats"],
+                           "score_threshold": 0.05})
     status, r = _req(server, "POST", "/v1/reload",
                      body=json.dumps({"checkpoint": str(ckpt)}))
     assert status == 200 and r["model_type"] == "video"
     status, h = _req(server, "GET", "/v1/health")
     assert h["checkpoint"] == str(ckpt)
+    assert h["score_threshold"] == 0.05
     assert slot in h["active_slots"]  # stream survived the reload
 
     status, r_new = _post_frames(server, slot, frames)
     assert status == 200
     assert not np.allclose(r_old["scores"], r_new["scores"])  # new weights
+    # calibrated threshold drives per-frame anomaly flags in the response
+    assert r_new["threshold"] == 0.05
+    assert r_new["anomalous"] == [bool(s > 0.05) for s in r_new["scores"]]
 
     # architecture mismatch -> 400, serving continues on current weights
     small = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32)

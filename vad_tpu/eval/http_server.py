@@ -214,6 +214,10 @@ class ImageScoringService:
     # stream for minutes and buffer an unbounded body in RAM)
     MAX_STEPS_PER_REQUEST = 64
 
+    # calibrated anomaly threshold from the checkpoint (p99 of validation
+    # normal scores); None = serve raw scores only
+    score_threshold: Optional[float] = None
+
     def score_images(self, frames: np.ndarray) -> np.ndarray:
         """Score ``n`` frames; requests larger than the device batch are
         chunked into ceil(n / batch) padded device steps server-side (up
@@ -285,6 +289,7 @@ class ImageScoringService:
         with self._lock:
             self._variables = new
             self.checkpoint = str(checkpoint)
+            self.score_threshold = ckpt.get("score_threshold")
 
     def close(self) -> None:
         pass
@@ -296,6 +301,7 @@ class ImageScoringService:
             "image_size": self.image_size,
             "dtype": str(self.dtype),
             "checkpoint": getattr(self, "checkpoint", None),
+            "score_threshold": self.score_threshold,
         }
 
 
@@ -303,6 +309,9 @@ class ScoringService:
     """Thread-safe coalescing wrapper around MultiStreamScorer."""
 
     kind = "video"
+    # calibrated anomaly threshold from the checkpoint (p99 of validation
+    # normal sequence scores); None = serve raw scores only
+    score_threshold: Optional[float] = None
 
     def __init__(self, scorer) -> None:
         self.scorer = scorer
@@ -428,6 +437,7 @@ class ScoringService:
         with self._scorer_lock:
             self.scorer.reload_variables(variables)
         self.checkpoint = str(checkpoint)
+        self.score_threshold = ckpt.get("score_threshold")
 
     def _fail_pending(self, exc: Exception) -> None:
         """Caller must hold self._lock."""
@@ -453,6 +463,7 @@ class ScoringService:
             "fused_input": bool(getattr(s, "fused_input", False)),
             "active_slots": [int(i) for i in s.active_slots],
             "checkpoint": getattr(self, "checkpoint", None),
+            "score_threshold": self.score_threshold,
         }
 
 
@@ -521,7 +532,12 @@ def _make_handler(service: ScoringService):
                         return
                     frames = np.frombuffer(self.rfile.read(n), np.uint8).reshape(shape)
                     scores = service.score_images(frames)
-                    self._json(200, {"scores": list(scores)})
+                    payload = {"scores": list(scores)}
+                    thr = service.score_threshold
+                    if thr is not None:
+                        payload["threshold"] = thr
+                        payload["anomalous"] = [bool(s > thr) for s in scores]
+                    self._json(200, payload)
                     return
                 if service.kind != "video":
                     self._json(400, {"error": "image model is being served; use /v1/images"})
@@ -541,7 +557,12 @@ def _make_handler(service: ScoringService):
                     # generous bound: the first-ever chunk pays the jit
                     # compile (minutes on a cold cache); steady state is ms
                     scores = service.submit(slot, frames).result(timeout=600)
-                    self._json(200, {"slot": slot, "scores": list(scores)})
+                    payload = {"slot": slot, "scores": list(scores)}
+                    thr = service.score_threshold
+                    if thr is not None:
+                        payload["threshold"] = thr
+                        payload["anomalous"] = [bool(s > thr) for s in scores]
+                    self._json(200, payload)
                     return
                 self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, RuntimeError, OSError,
@@ -722,6 +743,7 @@ def serve_from_checkpoint(
             mesh=imesh, spatial=spatial,
         )
         service.checkpoint = str(checkpoint)
+        service.score_threshold = ckpt.get("score_threshold")
         return ScoringServer(host=host, port=port, service=service)
 
     from vad_tpu.core.config import VideoAEConfig
@@ -764,4 +786,5 @@ def serve_from_checkpoint(
     scorer.score_chunk(warm)
     server = ScoringServer(scorer, host, port)
     server.service.checkpoint = str(checkpoint)
+    server.service.score_threshold = ckpt.get("score_threshold")
     return server

@@ -168,6 +168,25 @@ def aupro(
     return float(np.trapezoid(p_kept, f_kept) / fpr_limit)
 
 
+def calibrate_threshold(
+    normal_scores: Sequence[float], quantile: float = 0.99
+) -> float | None:
+    """Anomaly-decision threshold from validation NORMAL scores only.
+
+    The reference hardcodes 0.004 for images (main.py:283) and mean+2std
+    of the analyzed video itself (main.py:357) — the first is meaningless
+    off its original training run, the second shifts with the anomaly
+    content it is supposed to detect.  Calibrating on held-out normal
+    scores targets a fixed false-positive rate (1 - quantile) on normal
+    data regardless of model, category, or loss scale.  Returns None when
+    no normal scores exist (threshold stays uncalibrated).
+    """
+    s = np.asarray(list(normal_scores), np.float64)
+    if s.size == 0:
+        return None
+    return float(np.quantile(s, quantile))
+
+
 def separation_ratio(normal_scores: Sequence[float], anomaly_scores: Sequence[float]) -> float:
     """mean(anomaly) / mean(normal) — the reference's model-selection and
     monitoring metric (train.py:195, train_video.py:209)."""

@@ -222,7 +222,7 @@ def train(args: Any) -> Dict[str, Any]:
             print(f"  (profiler trace written to {profile_dir})")
         else:
             state, train_loss = run_epoch_train(train_step, state, train_loader)
-        val_loss, normal_err, anomaly_err, _, _ = run_epoch_validate(
+        val_loss, normal_err, anomaly_err, v_labels, v_scores = run_epoch_validate(
             eval_step, state, test_loader
         )
 
@@ -257,6 +257,8 @@ def train(args: Any) -> Dict[str, Any]:
             epoch_seconds=time.time() - t0,
         )
 
+        from vad_tpu.eval.metrics import calibrate_threshold
+
         payload = {
             "epoch": epoch,
             "params": state.params,
@@ -267,6 +269,12 @@ def train(args: Any) -> Dict[str, Any]:
             "history": history,
             "args": args_dict,
             "model_type": "image",
+            # calibrated anomaly threshold: p99 of this epoch's held-out
+            # NORMAL scores (~1% FPR operating point); consumed by the
+            # serving daemon and the UI in place of the reference's
+            # hardcoded 0.004 (main.py:283)
+            "score_threshold": calibrate_threshold(v_scores[v_labels == 0]),
+            "threshold_method": "p99 of validation normal scores",
         }
         if val_loss < best_loss:
             best_loss = val_loss

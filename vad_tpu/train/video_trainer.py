@@ -225,6 +225,7 @@ def train(args: Any) -> Dict[str, Any]:
 
     profile_dir = getattr(args, "profile_dir", None)
     epoch = start_epoch - 1  # stable if the loop body never runs (resume at end)
+    score_threshold = None  # set each epoch from held-out normal scores
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         if profile_dir and epoch == start_epoch + 1:
@@ -251,6 +252,11 @@ def train(args: Any) -> Dict[str, Any]:
         nmean = float(np.mean(normal_err)) if normal_err else 0.0
         amean = float(np.mean(anomaly_err)) if anomaly_err else 0.0
         separation = amean / nmean if nmean > 0 else 0.0
+        from vad_tpu.eval.metrics import calibrate_threshold
+
+        # calibrated anomaly threshold (p99 of held-out normal sequence
+        # scores, ~1% FPR) — saved with every checkpoint for serving/UI
+        score_threshold = calibrate_threshold(normal_err)
 
         new_lr = scheduler.step(separation, current_learning_rate(state))
         if new_lr != current_learning_rate(state):
@@ -306,6 +312,8 @@ def train(args: Any) -> Dict[str, Any]:
                     "anomaly_err": amean,
                     "args": args_dict,
                     "model_type": "video",
+                    "score_threshold": score_threshold,
+                    "threshold_method": "p99 of validation normal scores",
                 },
             )
             print(f"  -> Saved best model (separation: {separation:.2f}x)", flush=True)
@@ -350,6 +358,8 @@ def train(args: Any) -> Dict[str, Any]:
                 "separation": history["separation"][-1] if history["separation"] else 0.0,
                 "args": args_dict,
                 "model_type": "video",
+                "score_threshold": score_threshold,
+                "threshold_method": "p99 of validation normal scores",
             },
         )
         print("  (no separation improvement seen; saved final weights as best_model)")
@@ -366,6 +376,8 @@ def train(args: Any) -> Dict[str, Any]:
             "best_separation": best_separation,
             "args": args_dict,
             "model_type": "video",
+            "score_threshold": score_threshold,
+            "threshold_method": "p99 of validation normal scores",
         },
     )
 

@@ -127,6 +127,10 @@ class AppState:
         self.video_model = None
         self.video_variables = None
         self.video_args: dict = {}
+        # calibrated threshold from the checkpoint when present (p99 of
+        # validation normal scores); None falls back to the reference's
+        # fixed IMAGE_THRESHOLD (main.py:283)
+        self.score_threshold = None
 
     def load_image_model(self, checkpoint_path: str) -> str:
         if not checkpoint_path or not Path(checkpoint_path).exists():
@@ -138,12 +142,19 @@ class AppState:
             from vad_tpu.utils.checkpoint import load_checkpoint
 
             ckpt = load_checkpoint(checkpoint_path)
+            self.score_threshold = ckpt.get("score_threshold")
+            thr_line = (
+                f"- Calibrated threshold: {self.score_threshold:.6f} "
+                f"({ckpt.get('threshold_method', 'calibrated')})\n"
+                if self.score_threshold is not None else ""
+            )
             return (
                 "Model loaded successfully.\n\n"
                 f"Details:\n"
                 f"- Epoch: {ckpt.get('epoch', 'unknown')}\n"
                 f"- Training Loss: {ckpt.get('train_loss', 0) or 0:.6f}\n"
                 f"- Category: {self.model_args.get('category', 'unknown')}\n"
+                f"{thr_line}"
                 f"- Backend: JAX/TPU"
             )
         except Exception as e:  # noqa: BLE001 - shown in the UI
@@ -214,7 +225,11 @@ def analyze_image(state: AppState, image_array: np.ndarray, image_size: int = 25
 
     recon_u8 = (np.clip(recon[0] * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
     heat = _heatmap_image(err_map)
-    return recon_u8, heat, image_report(score)
+    threshold = (
+        state.score_threshold if state.score_threshold is not None
+        else IMAGE_THRESHOLD
+    )
+    return recon_u8, heat, image_report(score, threshold)
 
 
 def _heatmap_image(error_map: np.ndarray):
