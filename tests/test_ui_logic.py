@@ -137,6 +137,12 @@ class TestAppStateAnalysis:
         assert recon.shape == (64, 64, 3)
         assert heat is not None
         assert "Anomaly Score:" in report
+        # the trained checkpoint carries a calibrated threshold; the UI
+        # surfaces it at load and uses it in the report instead of the
+        # reference's fixed 0.004
+        assert "Calibrated threshold:" in msg
+        assert state.score_threshold is not None
+        assert f"Threshold: {state.score_threshold:.6f}" in report
 
     def test_load_results_artifacts_missing(self, tmp_path):
         run = tmp_path / "run"
