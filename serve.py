@@ -18,6 +18,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Serve an anomaly model over HTTP")
     p.add_argument("--checkpoint", type=str, required=True,
                    help="Model checkpoint (video -> /v1/streams API, image -> /v1/images)")
+    p.add_argument("--image-checkpoint", type=str, default=None,
+                   help="Serve an image model ALONGSIDE the video --checkpoint "
+                        "from the same daemon (/v1/streams and /v1/images both "
+                        "live; /v1/reload routes by checkpoint kind)")
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8600)
     p.add_argument("--slots", type=int, default=16,
@@ -54,19 +58,24 @@ def main() -> None:
         args.checkpoint, args.host, args.port, args.slots, args.chunk,
         args.dtype, fused_input=args.fused_input or None,
         data_parallel=args.data_parallel, spatial_parallel=args.spatial,
+        image_checkpoint=args.image_checkpoint,
     )
     h = server.service.health()
     if h["model_type"] == "video":
         desc = f"{h['num_slots']} slots x {h['chunk']}-frame chunks"
     else:
         desc = f"image batches up to {h['batch']}"
+    if args.image_checkpoint:
+        desc += f" + image model {args.image_checkpoint}"
     print(f"Serving {args.checkpoint} on {args.host}:{server.port} ({desc}, {h['dtype']})")
     watcher = None
     if args.watch:
         from vad_tpu.eval.http_server import CheckpointWatcher
 
+        # the server-level reload routes by checkpoint kind, so the
+        # watcher deploys image AND video retrains on a dual server
         watcher = CheckpointWatcher(
-            server.service, args.watch, interval=args.watch_interval,
+            server, args.watch, interval=args.watch_interval,
             initial=args.checkpoint,
         )
         watcher.start()

@@ -291,6 +291,72 @@ def test_hot_reload_image(tmp_path):
         srv.close()
 
 
+def test_dual_model_serving(tmp_path):
+    """One daemon, both models: /v1/streams and /v1/images live at once,
+    per-kind health/metrics sections, /v1/reload routed by checkpoint
+    kind (the daemon equivalent of the UI's dual-model AppState)."""
+    from vad_tpu.eval.http_server import ImageScoringService, ScoringService
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    vmodel = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32)
+    vvars = vmodel.init(jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    scorer = MultiStreamScorer(vmodel, vvars, SLOTS, CHUNK, SIZE)
+    imodel = ConvAutoencoder(latent_dim=64)
+    ivars = imodel.init(jax.random.key(1), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    iservice = ImageScoringService(imodel, ivars, SIZE, batch=4, dtype=jnp.float32)
+    srv = ScoringServer(host="127.0.0.1", port=0,
+                        services={"video": ScoringService(scorer), "image": iservice})
+    srv.start_background()
+    try:
+        status, h = _req(srv, "GET", "/v1/health")
+        assert status == 200 and h["model_type"] == "image+video"
+        assert h["video"]["num_slots"] == SLOTS and h["image"]["batch"] == 4
+
+        # both endpoints live in one daemon
+        rng = np.random.default_rng(8)
+        imgs = rng.integers(0, 255, size=(2, SIZE, SIZE, 3), dtype=np.uint8)
+        status, r = _req(srv, "POST", "/v1/images", body=imgs.tobytes(),
+                         headers={"X-Frames-Shape": f"2,{SIZE},{SIZE},3"})
+        assert status == 200 and len(r["scores"]) == 2
+        _, a = _req(srv, "POST", "/v1/streams")
+        frames = rng.integers(0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8)
+        status, r = _post_frames(srv, a["slot"], frames)
+        assert status == 200 and len(r["scores"]) == CHUNK
+
+        status, m = _req(srv, "GET", "/v1/metrics")
+        assert m["image"]["requests"] == 1 and m["video"]["requests"] == 1
+
+        # reload routes by the checkpoint's kind
+        iv2 = imodel.init(jax.random.key(5), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+        ick = tmp_path / "img.ckpt"
+        save_checkpoint(ick, {"model_type": "image", "params": iv2["params"],
+                              "batch_stats": iv2["batch_stats"],
+                              "score_threshold": 0.02})
+        status, r = _req(srv, "POST", "/v1/reload",
+                         body=json.dumps({"checkpoint": str(ick)}))
+        assert status == 200 and r["model_type"] == "image"
+        _, h2 = _req(srv, "GET", "/v1/health")
+        assert h2["image"]["checkpoint"] == str(ick)
+        assert h2["image"]["score_threshold"] == 0.02
+        assert h2["video"]["checkpoint"] is None  # video untouched
+
+        vv2 = vmodel.init(jax.random.key(6), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+        vck = tmp_path / "vid.ckpt"
+        save_checkpoint(vck, {"model_type": "video", "params": vv2["params"],
+                              "batch_stats": vv2["batch_stats"]})
+        status, r = _req(srv, "POST", "/v1/reload",
+                         body=json.dumps({"checkpoint": str(vck)}))
+        assert status == 200 and r["model_type"] == "video"
+        _, h3 = _req(srv, "GET", "/v1/health")
+        assert h3["video"]["checkpoint"] == str(vck)
+
+        # server-level reload (the --watch target) routes the same way
+        assert srv.reload(str(ick)) == "image"
+    finally:
+        srv.close()
+
+
 def test_checkpoint_watcher(tmp_path):
     """serve.py --watch: the watcher deploys the newest best_model.ckpt in
     a results tree, skips unchanged polls, and survives bad checkpoints."""

@@ -467,7 +467,12 @@ class ScoringService:
         }
 
 
-def _make_handler(service: ScoringService):
+def _make_handler(services: Dict[str, object]):
+    """Handler over a ``kind -> service`` map: a server holds an image
+    service, a video service, or BOTH (serve.py --image-checkpoint);
+    each endpoint routes to its kind and 400s when that model is absent."""
+    primary = next(iter(services.values()))
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -484,13 +489,23 @@ def _make_handler(service: ScoringService):
 
         def do_GET(self) -> None:
             if self.path == "/v1/health":
-                self._json(200, service.health())
+                if len(services) == 1:
+                    self._json(200, primary.health())
+                else:
+                    self._json(200, {
+                        "model_type": "image+video",
+                        **{k: s.health() for k, s in services.items()},
+                    })
             elif self.path == "/v1/metrics":
-                self._json(200, service.metrics.snapshot())
+                if len(services) == 1:
+                    self._json(200, primary.metrics.snapshot())
+                else:
+                    self._json(200, {k: s.metrics.snapshot() for k, s in services.items()})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self) -> None:
+            svc = primary  # for the error-metrics fallback
             try:
                 if self.path == "/v1/reload":
                     n = int(self.headers.get("Content-Length", 0))
@@ -503,11 +518,24 @@ def _make_handler(service: ScoringService):
                     if not path:
                         self._json(400, {"error": 'body must be {"checkpoint": "<path>"}'})
                         return
-                    service.reload(path)
-                    self._json(200, {"reloaded": path, "model_type": service.kind})
+                    if len(services) == 1:
+                        svc = primary  # its own kind check gives the clearer error
+                    else:
+                        from vad_tpu.utils.checkpoint import load_checkpoint
+
+                        kind = (
+                            "image"
+                            if load_checkpoint(path).get("model_type") == "image"
+                            else "video"
+                        )
+                        svc = services[kind]
+                    svc.reload(path)
+                    self._json(200, {"reloaded": path, "model_type": svc.kind})
                     return
                 if self.path == "/v1/images":
-                    if service.kind != "image":
+                    svc = services.get("image")
+                    if svc is None:
+                        svc = primary
                         self._json(400, {"error": "video model is being served; use /v1/streams"})
                         return
                     shape = tuple(
@@ -516,7 +544,7 @@ def _make_handler(service: ScoringService):
                     # reject oversize requests BEFORE buffering the body:
                     # the declared shape bounds both the RAM this request
                     # may pin and the device steps it may serialize
-                    limit = service.batch * service.MAX_STEPS_PER_REQUEST
+                    limit = svc.batch * svc.MAX_STEPS_PER_REQUEST
                     if not shape or shape[0] > limit:
                         self._json(413, {
                             "error": f"request exceeds per-request frame "
@@ -531,19 +559,21 @@ def _make_handler(service: ScoringService):
                         })
                         return
                     frames = np.frombuffer(self.rfile.read(n), np.uint8).reshape(shape)
-                    scores = service.score_images(frames)
+                    scores = svc.score_images(frames)
                     payload = {"scores": list(scores)}
-                    thr = service.score_threshold
+                    thr = svc.score_threshold
                     if thr is not None:
                         payload["threshold"] = thr
                         payload["anomalous"] = [bool(s > thr) for s in scores]
                     self._json(200, payload)
                     return
-                if service.kind != "video":
+                svc = services.get("video")
+                if svc is None:
+                    svc = primary
                     self._json(400, {"error": "image model is being served; use /v1/images"})
                     return
                 if self.path == "/v1/streams":
-                    self._json(200, {"slot": service.attach()})
+                    self._json(200, {"slot": svc.attach()})
                     return
                 parts = self.path.strip("/").split("/")
                 if len(parts) == 4 and parts[:2] == ["v1", "streams"] and parts[3] == "frames":
@@ -556,9 +586,9 @@ def _make_handler(service: ScoringService):
                     frames = np.frombuffer(raw, np.uint8).reshape(shape)
                     # generous bound: the first-ever chunk pays the jit
                     # compile (minutes on a cold cache); steady state is ms
-                    scores = service.submit(slot, frames).result(timeout=600)
+                    scores = svc.submit(slot, frames).result(timeout=600)
                     payload = {"slot": slot, "scores": list(scores)}
-                    thr = service.score_threshold
+                    thr = svc.score_threshold
                     if thr is not None:
                         payload["threshold"] = thr
                         payload["anomalous"] = [bool(s > thr) for s in scores]
@@ -567,22 +597,23 @@ def _make_handler(service: ScoringService):
                 self._json(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, RuntimeError, OSError,
                     pickle.UnpicklingError) as exc:
-                service.metrics.record_error()
+                svc.metrics.record_error()
                 self._json(400, {"error": str(exc)})
             except (TimeoutError, FutureTimeoutError):
                 # FutureTimeoutError is a distinct class on Python 3.10
-                service.metrics.record_error()
+                svc.metrics.record_error()
                 self._json(504, {"error": "scoring timed out"})
 
         def do_DELETE(self) -> None:
             try:
-                if service.kind != "video":
+                svc = services.get("video")
+                if svc is None:
                     self._json(400, {"error": "image model is being served; use /v1/images"})
                     return
                 parts = self.path.strip("/").split("/")
                 if len(parts) == 3 and parts[:2] == ["v1", "streams"]:
                     slot = int(parts[2])
-                    service.detach(slot)
+                    svc.detach(slot)
                     self._json(200, {"detached": slot})
                 else:
                     self._json(404, {"error": f"unknown path {self.path}"})
@@ -660,14 +691,42 @@ class CheckpointWatcher:
 
 
 class ScoringServer:
-    """HTTP server wrapper; ``port=0`` binds an ephemeral port (tests)."""
+    """HTTP server wrapper; ``port=0`` binds an ephemeral port (tests).
+
+    Holds one service per model kind: a single image or video service
+    (the common case), or both at once (``serve.py --image-checkpoint``)
+    so one daemon serves /v1/images AND /v1/streams — the daemon
+    equivalent of the UI's dual-model AppState (reference main.py:33-50).
+    """
 
     def __init__(self, scorer=None, host: str = "0.0.0.0", port: int = 8600,
-                 service=None) -> None:
-        self.service = service if service is not None else ScoringService(scorer)
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.service))
+                 service=None, services: Optional[Dict[str, object]] = None) -> None:
+        if services is not None:
+            self.services = dict(services)
+        else:
+            svc = service if service is not None else ScoringService(scorer)
+            self.services = {svc.kind: svc}
+        # primary accessor (video first): what serve.py prints and what
+        # single-service callers have always used
+        self.service = self.services.get("video") or next(iter(self.services.values()))
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.services))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
+
+    def reload(self, checkpoint: str) -> str:
+        """Route a checkpoint to the service of its kind (CheckpointWatcher
+        target on dual-model servers); returns the kind reloaded."""
+        from vad_tpu.utils.checkpoint import load_checkpoint
+
+        kind = (
+            "image" if load_checkpoint(checkpoint).get("model_type") == "image"
+            else "video"
+        )
+        svc = self.services.get(kind)
+        if svc is None:
+            raise ValueError(f"no {kind} model is being served")
+        svc.reload(checkpoint)
+        return kind
 
     def start_background(self) -> None:
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
@@ -679,9 +738,38 @@ class ScoringServer:
     def close(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
-        self.service.close()
+        for svc in self.services.values():
+            svc.close()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
+                             data_parallel, spatial_parallel):
+    """Build an ImageScoringService from a loaded image checkpoint."""
+    import jax.numpy as jnp
+
+    from vad_tpu.core.config import ImageAEConfig
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+
+    spatial = int(spatial_parallel or 1) > 1
+    icfg = ImageAEConfig.from_args(ckpt.get("args", {}))
+    imodel = ConvAutoencoder(
+        in_channels=icfg.in_channels, latent_dim=icfg.latent_dim, norm=icfg.norm
+    )
+    ivars = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+    imesh = None
+    if data_parallel or spatial:
+        from vad_tpu.parallel.sharding import get_mesh
+
+        imesh = get_mesh(model_parallel=int(spatial_parallel or 1))
+    service = ImageScoringService(
+        imodel, ivars, icfg.image_size, batch=batch, dtype=getattr(jnp, dtype),
+        mesh=imesh, spatial=spatial,
+    )
+    service.checkpoint = str(checkpoint)
+    service.score_threshold = ckpt.get("score_threshold")
+    return service
 
 
 def serve_from_checkpoint(
@@ -694,12 +782,18 @@ def serve_from_checkpoint(
     fused_input: Optional[bool] = None,
     data_parallel: bool = False,
     spatial_parallel: int = 1,
+    image_checkpoint: Optional[str] = None,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
 
     Video checkpoints get the coalescing multi-stream service; image
     checkpoints get the stateless batched image service (``num_slots``
     doubles as the image batch capacity).
+
+    ``image_checkpoint``: serve an image model ALONGSIDE the video model
+    from the same daemon (``checkpoint`` must then be a video one) —
+    /v1/streams and /v1/images both live, per-kind /v1/health and
+    /v1/metrics sections, /v1/reload routed by the checkpoint's kind.
 
     ``data_parallel``: shard the scoring batch over all visible chips via
     a 'data'-axis mesh.  Video: stream slots + carried state split over
@@ -725,25 +819,14 @@ def serve_from_checkpoint(
     spatial = int(spatial_parallel or 1) > 1
 
     if ckpt.get("model_type") == "image":
-        from vad_tpu.core.config import ImageAEConfig
-        from vad_tpu.models.autoencoder import ConvAutoencoder
-
-        icfg = ImageAEConfig.from_args(ckpt.get("args", {}))
-        imodel = ConvAutoencoder(
-            in_channels=icfg.in_channels, latent_dim=icfg.latent_dim, norm=icfg.norm
+        if image_checkpoint:
+            raise ValueError(
+                "--checkpoint must be the VIDEO model when --image-checkpoint "
+                "is given (got two image checkpoints)"
+            )
+        service = _image_service_from_ckpt(
+            ckpt, checkpoint, num_slots, dtype, data_parallel, spatial_parallel
         )
-        ivars = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
-        imesh = None
-        if data_parallel or spatial:
-            from vad_tpu.parallel.sharding import get_mesh
-
-            imesh = get_mesh(model_parallel=int(spatial_parallel or 1))
-        service = ImageScoringService(
-            imodel, ivars, icfg.image_size, batch=num_slots, dtype=getattr(jnp, dtype),
-            mesh=imesh, spatial=spatial,
-        )
-        service.checkpoint = str(checkpoint)
-        service.score_threshold = ckpt.get("score_threshold")
         return ScoringServer(host=host, port=port, service=service)
 
     from vad_tpu.core.config import VideoAEConfig
@@ -784,7 +867,16 @@ def serve_from_checkpoint(
     # pay the jit compile before accepting traffic
     warm = np.zeros((num_slots, chunk) + scorer.image_hw + (3,), np.uint8)
     scorer.score_chunk(warm)
-    server = ScoringServer(scorer, host, port)
-    server.service.checkpoint = str(checkpoint)
-    server.service.score_threshold = ckpt.get("score_threshold")
-    return server
+    vsvc = ScoringService(scorer)
+    vsvc.checkpoint = str(checkpoint)
+    vsvc.score_threshold = ckpt.get("score_threshold")
+    services: Dict[str, object] = {"video": vsvc}
+    if image_checkpoint:
+        ickpt = load_checkpoint(image_checkpoint)
+        if ickpt.get("model_type") != "image":
+            raise ValueError("--image-checkpoint must be an image checkpoint")
+        services["image"] = _image_service_from_ckpt(
+            ickpt, image_checkpoint, num_slots, dtype, data_parallel,
+            spatial_parallel,
+        )
+    return ScoringServer(host=host, port=port, services=services)
