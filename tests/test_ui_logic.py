@@ -65,6 +65,14 @@ class TestReports:
         assert "Frames Above Threshold: 10" in rep
         assert "Anomaly Percentage: 10.0%" in rep
 
+    def test_video_report_calibrated_threshold(self):
+        scores = np.asarray([0.01, 0.02, 0.5])
+        rep = logic.video_report(scores, calibrated=0.05)
+        assert "Calibrated Threshold (p99 normal): 0.050000" in rep
+        assert "Frames Above Calibrated Threshold: 1 (33.3%)" in rep
+        # without a calibrated threshold the reference-parity report stands
+        assert "Calibrated" not in logic.video_report(scores)
+
     def test_video_report_no_anomalies(self):
         rng = np.random.default_rng(0)
         rep = logic.video_report(rng.normal(0.001, 1e-5, size=50))

@@ -127,10 +127,11 @@ class AppState:
         self.video_model = None
         self.video_variables = None
         self.video_args: dict = {}
-        # calibrated threshold from the checkpoint when present (p99 of
+        # calibrated thresholds from the checkpoints when present (p99 of
         # validation normal scores); None falls back to the reference's
-        # fixed IMAGE_THRESHOLD (main.py:283)
+        # fixed IMAGE_THRESHOLD (main.py:283) / mean+2*std (main.py:357)
         self.score_threshold = None
+        self.video_score_threshold = None
 
     def load_image_model(self, checkpoint_path: str) -> str:
         if not checkpoint_path or not Path(checkpoint_path).exists():
@@ -171,6 +172,7 @@ class AppState:
                 checkpoint_path
             )
             ckpt = load_checkpoint(checkpoint_path)
+            self.video_score_threshold = ckpt.get("score_threshold")
             return (
                 "Video model loaded successfully.\n\n"
                 f"Details:\n"
@@ -251,18 +253,31 @@ def _heatmap_image(error_map: np.ndarray):
     return Image.open(buf)
 
 
-def video_report(scores: np.ndarray) -> str:
+def video_report(scores: np.ndarray, calibrated: float | None = None) -> str:
+    """Reference-parity report (mean+2*std self-threshold, main.py:357) —
+    plus, when the checkpoint carries one, the calibrated threshold from
+    held-out NORMAL training data, which unlike the self-threshold does
+    not shift with the anomaly content of the analyzed clip."""
     mean = float(np.mean(scores))
     mx = float(np.max(scores))
     threshold = mean + 2 * float(np.std(scores))
     anomaly_frames = np.where(scores > threshold)[0]
+    calib_lines = ""
+    if calibrated is not None:
+        n_cal = int(np.sum(scores > calibrated))
+        calib_lines = (
+            f"- Calibrated Threshold (p99 normal): {calibrated:.6f}\n"
+            f"- Frames Above Calibrated Threshold: {n_cal} "
+            f"({100 * n_cal / max(len(scores), 1):.1f}%)\n"
+        )
     text = (
         f"VIDEO ANALYSIS COMPLETE\n{'=' * 60}\n\n"
         f"Video Statistics:\n"
         f"- Total Frames Analyzed: {len(scores)}\n"
         f"- Mean Anomaly Score: {mean:.6f}\n"
         f"- Max Anomaly Score: {mx:.6f}\n"
-        f"- Threshold (mean + 2*std): {threshold:.6f}\n\n"
+        f"- Threshold (mean + 2*std): {threshold:.6f}\n"
+        f"{calib_lines}\n"
         f"Anomaly Detection:\n"
         f"- Frames Above Threshold: {len(anomaly_frames)}\n"
         f"- Anomaly Percentage: {100 * len(anomaly_frames) / max(len(scores), 1):.1f}%\n\n"
@@ -319,7 +334,9 @@ def analyze_video(state: AppState, video_path: str):
         plt.savefig(buf, format="png", dpi=150)
         buf.seek(0)
         plt.close(fig)
-        return Image.open(buf), video_report(np.asarray(scores))
+        return Image.open(buf), video_report(
+            np.asarray(scores), calibrated=state.video_score_threshold
+        )
     except Exception as e:  # noqa: BLE001
         return None, f"Error analyzing video: {e}"
 
