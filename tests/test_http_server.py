@@ -291,6 +291,40 @@ def test_hot_reload_image(tmp_path):
         srv.close()
 
 
+def test_python_client(server, tmp_path):
+    """ScoringClient drives the full protocol against a live daemon and
+    its responses match the raw-HTTP helpers used elsewhere in this file."""
+    from vad_tpu.eval.client import ScoringClient, ScoringError
+
+    c = ScoringClient("127.0.0.1", server.port)
+    h = c.health()
+    assert h["model_type"] == "video" and h["num_slots"] == SLOTS
+
+    slot = c.attach()
+    frames = np.random.default_rng(21).integers(
+        0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8
+    )
+    out = c.score_chunk(slot, frames)
+    assert len(out["scores"]) == CHUNK
+    _, raw = _post_frames(server, slot, frames)
+    assert len(raw["scores"]) == CHUNK  # same live stream, next chunk
+
+    m = c.metrics()
+    assert m["requests"] >= 2
+
+    # error surfaces with the server's message and status
+    with pytest.raises(ScoringError) as exc:
+        c.score_chunk(slot, frames[:1])  # wrong chunk length
+    assert exc.value.status == 400 and "expected" in exc.value.message
+    with pytest.raises(ScoringError):
+        c.score_images(frames)  # video daemon has no image model
+    with pytest.raises(ScoringError):
+        c.reload(str(tmp_path / "missing.ckpt"))
+    c.detach(slot)
+    with pytest.raises(ScoringError):
+        c.detach(slot + 1000)
+
+
 def test_dual_model_serving(tmp_path):
     """One daemon, both models: /v1/streams and /v1/images live at once,
     per-kind health/metrics sections, /v1/reload routed by checkpoint
