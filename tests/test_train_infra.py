@@ -222,6 +222,27 @@ class TestGradAccum:
 
 
 class TestCheckpoint:
+    def test_rotate_epoch_checkpoints(self, tmp_path):
+        """--keep-checkpoints N: oldest per-epoch ckpts removed, best/final
+        never touched, numeric (not lexicographic) epoch ordering."""
+        from vad_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            rotate_epoch_checkpoints,
+        )
+
+        for e in (1, 2, 3, 10, 11):  # 10/11 sort before 2 lexicographically
+            save_checkpoint(tmp_path / f"checkpoint_epoch_{e}.ckpt", {"epoch": e})
+        save_checkpoint(tmp_path / "best_model.ckpt", {"epoch": 3})
+        save_checkpoint(tmp_path / "final_model.ckpt", {"epoch": 11})
+        assert rotate_epoch_checkpoints(tmp_path, keep=2) == 3
+        left = sorted(p.name for p in tmp_path.glob("*.ckpt"))
+        assert left == [
+            "best_model.ckpt", "checkpoint_epoch_10.ckpt",
+            "checkpoint_epoch_11.ckpt", "final_model.ckpt",
+        ]
+        assert latest_checkpoint(tmp_path).name == "checkpoint_epoch_11.ckpt"
+        assert rotate_epoch_checkpoints(tmp_path, keep=5) == 0  # idempotent
+
     def test_roundtrip(self, tmp_path):
         model, state = small_state()
         payload = {

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--results-dir", type=str, default="./results",
                         help="Directory to save results")
     parser.add_argument("--seed", type=int, default=0, help="Init PRNG seed")
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        dest="keep_checkpoints",
+                        help="Keep only the newest N per-epoch checkpoints "
+                             "(0 = keep all, the reference behavior; "
+                             "best/final are never rotated)")
     parser.add_argument("--norm", type=str, default="batch", choices=["batch", "group"],
                         help="Normalization: batch (reference parity) or group "
                              "(per-sample stats; immune to padded small batches)")

@@ -331,6 +331,11 @@ def train(args: Any) -> Dict[str, Any]:
                 "model_type": "video",
             },
         )
+        keep = int(getattr(args, "keep_checkpoints", 0) or 0)
+        if keep > 0:
+            from vad_tpu.utils.checkpoint import rotate_epoch_checkpoints
+
+            rotate_epoch_checkpoints(results_dir, keep)
 
         if no_improve >= patience and separation < 1.0:
             print(f"\n*** Early stopping: Separation below 1.0 for {patience} epochs ***")

@@ -48,6 +48,27 @@ def load_checkpoint(path: str | Path) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+def rotate_epoch_checkpoints(results_dir: str | Path, keep: int) -> int:
+    """Delete all but the newest ``keep`` per-epoch checkpoints
+    (``--keep-checkpoints``; best/final checkpoints are never touched).
+    The reference keeps every epoch's checkpoint (train_video.py:257-262),
+    which at ~10 MB per epoch fills a disk on long production retrains —
+    keeping the default at 0 (= keep all) preserves that behavior.
+    Returns the number of files removed."""
+    results_dir = Path(results_dir)
+    epochs = []
+    for p in results_dir.glob(f"checkpoint_epoch_*{CHECKPOINT_SUFFIX}"):
+        m = re.search(r"checkpoint_epoch_(\d+)", p.name)
+        if m:
+            epochs.append((int(m.group(1)), p))
+    epochs.sort()
+    removed = 0
+    for _, p in epochs[: max(0, len(epochs) - keep)]:
+        p.unlink(missing_ok=True)
+        removed += 1
+    return removed
+
+
 def latest_checkpoint(results_dir: str | Path) -> Optional[Path]:
     """Newest per-epoch checkpoint in a run dir (for resume), else None."""
     results_dir = Path(results_dir)
