@@ -51,7 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    if args.watch and args.fused_input:
+        # fused_input bakes the folded input-block weights into the
+        # compiled step, so hot reload is rejected by the scorer — a
+        # --watch loop would fail on every poll while looking active
+        parser.error("--watch cannot be combined with --fused-input "
+                     "(fused servers do not support hot reload)")
     from vad_tpu.eval.http_server import serve_from_checkpoint
 
     server = serve_from_checkpoint(

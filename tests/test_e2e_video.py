@@ -50,6 +50,17 @@ def test_video_training_artifacts(trained_video_run):
     # per-epoch checkpoints (reference train_video.py:257-262)
     assert (rd / "checkpoint_epoch_1.ckpt").exists()
     assert (rd / "checkpoint_epoch_2.ckpt").exists()
+    # calibrated thresholds at BOTH granularities land in every payload
+    # (sequence for window decisions, frame for the serving daemon/UI)
+    from vad_tpu.utils.checkpoint import load_checkpoint
+
+    for name in ("best_model.ckpt", "final_model.ckpt", "checkpoint_epoch_2.ckpt"):
+        ckpt = load_checkpoint(rd / name)
+        assert ckpt["score_threshold"] is not None and ckpt["score_threshold"] > 0
+        assert ckpt["frame_score_threshold"] is not None
+        # frame scores spread wider than their sequence means, so the p99
+        # of frames sits at or above the p99 of sequence means
+        assert ckpt["frame_score_threshold"] >= ckpt["score_threshold"] * 0.5
 
 
 def test_video_evaluate_cli(trained_video_run):

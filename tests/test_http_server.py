@@ -191,13 +191,17 @@ def test_hot_reload_video(server, tmp_path):
 
     assert "anomalous" not in r_old  # no calibrated threshold yet
 
-    # same architecture, different weights, with a calibrated threshold
+    # same architecture, different weights, with calibrated thresholds:
+    # the daemon must pick the FRAME-granularity one (its scores are per
+    # frame; the sequence-level score_threshold is a different
+    # distribution and would over-flag normal frames)
     v2 = model.init(jax.random.key(7), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
     ckpt = tmp_path / "retrained.ckpt"
     save_checkpoint(ckpt, {"model_type": "video",
                            "params": v2["params"],
                            "batch_stats": v2["batch_stats"],
-                           "score_threshold": 0.05})
+                           "score_threshold": 0.03,
+                           "frame_score_threshold": 0.05})
     status, r = _req(server, "POST", "/v1/reload",
                      body=json.dumps({"checkpoint": str(ckpt)}))
     assert status == 200 and r["model_type"] == "video"
@@ -287,6 +291,17 @@ def test_hot_reload_image(tmp_path):
         status, r = _req(srv, "POST", "/v1/reload",
                          body=json.dumps({"checkpoint": str(bad)}))
         assert status == 400 and "image checkpoint" in r["error"]
+        # a different-resolution retrain is rejected: fully-convolutional
+        # weights pass the structural check at any size, so without the
+        # args guard it would swap in silently and score garbage
+        other_res = tmp_path / "bigres.ckpt"
+        save_checkpoint(other_res, {"model_type": "image",
+                                    "params": v2["params"],
+                                    "batch_stats": v2["batch_stats"],
+                                    "args": {"image_size": SIZE * 2}})
+        status, r = _req(srv, "POST", "/v1/reload",
+                         body=json.dumps({"checkpoint": str(other_res)}))
+        assert status == 400 and "image_size" in r["error"]
     finally:
         srv.close()
 
@@ -440,6 +455,60 @@ def test_checkpoint_watcher(tmp_path):
                            "batch_stats": v1["batch_stats"]})
     os.utime(run2, (time.time() + 20, time.time() + 20))
     assert watcher_f.poll_once() is True
+
+
+def test_watcher_dual_kinds_and_supersession(tmp_path):
+    """Regression: the watcher must deploy the newest retrain of EACH
+    model kind (not just the globally newest file), and an older changed
+    checkpoint of an already-updated kind must be superseded, never
+    rolled back onto the newer one."""
+    import os
+    import time
+    from types import SimpleNamespace
+
+    from vad_tpu.eval.http_server import (
+        CheckpointWatcher, ImageScoringService, ScoringService,
+    )
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    vmodel = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32)
+    vvars = vmodel.init(jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
+    vsvc = ScoringService(MultiStreamScorer(vmodel, vvars, 2, CHUNK, SIZE))
+    imodel = ConvAutoencoder(latent_dim=64)
+    ivars = imodel.init(jax.random.key(1), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    isvc = ImageScoringService(imodel, ivars, SIZE, batch=2, dtype=jnp.float32)
+    target = SimpleNamespace(services={"video": vsvc, "image": isvc})
+    try:
+        now = time.time()
+        paths = {}
+        for name, payload, age in (
+            ("img_old", {"model_type": "image", "params": ivars["params"],
+                         "batch_stats": ivars["batch_stats"],
+                         "score_threshold": 0.01}, 30),
+            ("vid", {"model_type": "video", "params": vvars["params"],
+                     "batch_stats": vvars["batch_stats"]}, 20),
+            ("img_new", {"model_type": "image", "params": ivars["params"],
+                         "batch_stats": ivars["batch_stats"],
+                         "score_threshold": 0.02}, 10),
+        ):
+            p = tmp_path / name / "best_model.ckpt"
+            save_checkpoint(p, payload)
+            os.utime(p, (now - age, now - age))
+            paths[name] = str(p)
+
+        w = CheckpointWatcher(target, tmp_path)
+        assert w.poll_once() is True
+        # newest image deployed (old one superseded), AND the video one —
+        # which is older than img_new — deployed too
+        assert isvc.checkpoint == paths["img_new"]
+        assert isvc.score_threshold == 0.02
+        assert vsvc.checkpoint == paths["vid"]
+        assert w.poll_once() is False  # steady state: nothing changed
+        # the superseded old image checkpoint never deploys later either
+        assert isvc.checkpoint == paths["img_new"]
+    finally:
+        vsvc.close()
 
 
 def test_metrics_endpoint(server):

@@ -63,9 +63,15 @@ class ScoringClient:
         try:
             conn.request(method, path, body=body, headers=headers or {})
             resp = conn.getresponse()
-            payload = json.loads(resp.read())
+            raw = resp.read()
         finally:
             conn.close()
+        try:
+            payload = json.loads(raw)
+        except json.JSONDecodeError:
+            # non-JSON body (reverse-proxy error page, stdlib HTML error):
+            # still surface the status as the documented ScoringError
+            raise ScoringError(resp.status, raw[:200].decode(errors="replace"))
         if resp.status != 200:
             raise ScoringError(resp.status, payload.get("error", str(payload)))
         return payload

@@ -256,32 +256,27 @@ class ImageScoringService:
                 self.metrics.record_step(time.time() - t0)
         return out
 
-    def reload(self, checkpoint: str) -> None:
+    def reload(self, checkpoint: str, ckpt: Optional[dict] = None) -> None:
         """Hot-swap the served weights from a checkpoint on disk
-        (POST /v1/reload).  Same architecture -> the compiled step is
-        reused (structural shape/dtype check); in-flight requests finish
-        on the old weights, the next device step sees the new ones."""
+        (POST /v1/reload).  Same architecture AND resolution -> the
+        compiled step is reused (structural + image_size checks);
+        in-flight requests finish on the old weights, the next device
+        step sees the new ones.  ``ckpt``: pass the already-loaded dict
+        to skip a second deserialize (dual-server routing peeks it)."""
         import jax
-        import jax.numpy as jnp
 
         from vad_tpu.utils.checkpoint import load_checkpoint
-        from vad_tpu.utils.precision import cast_floating
+        from vad_tpu.utils.precision import check_served_image_size, checked_cast_like
 
-        ckpt = load_checkpoint(checkpoint)
+        if ckpt is None:
+            ckpt = load_checkpoint(checkpoint)
         if ckpt.get("model_type") != "image":
             raise ValueError(
                 "not an image checkpoint; this server serves the image model"
             )
+        check_served_image_size(ckpt.get("args") or {}, self.image_size)
         variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
-        new = cast_floating(variables, self.dtype) if self.dtype != jnp.float32 else variables
-        old_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), self._variables)
-        new_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), new)
-        if old_shapes != new_shapes:
-            raise ValueError(
-                "checkpoint does not match the served architecture "
-                "(pytree/shape/dtype mismatch); restart the server to "
-                "change architectures"
-            )
+        new = checked_cast_like(variables, self._variables, self.dtype)
         if self.mesh is not None:
             from vad_tpu.parallel.sharding import replicate_sharding
 
@@ -303,6 +298,21 @@ class ImageScoringService:
             "checkpoint": getattr(self, "checkpoint", None),
             "score_threshold": self.score_threshold,
         }
+
+
+def _serving_frame_threshold(ckpt: dict) -> Optional[float]:
+    """The calibrated threshold valid for the video daemon's PER-FRAME
+    reconstruction scores: ``frame_score_threshold`` (p99 of held-out
+    normal FRAME scores), and only when the checkpoint's training
+    objective was reconstruction — the sequence-level ``score_threshold``
+    applied to frame scores would flag far more than its ~1% of normal
+    frames (frame errors fluctuate around their sequence mean), and a
+    predict-calibrated threshold is on a different score scale than the
+    reconstruction error ``stream_step`` emits."""
+    obj = (ckpt.get("args") or {}).get("objective", "reconstruct") or "reconstruct"
+    if obj != "reconstruct":
+        return None
+    return ckpt.get("frame_score_threshold")
 
 
 class ScoringService:
@@ -419,25 +429,32 @@ class ScoringService:
                     if not fut.done():
                         fut.set_exception(exc)
 
-    def reload(self, checkpoint: str) -> None:
+    def reload(self, checkpoint: str, ckpt: Optional[dict] = None) -> None:
         """Hot-swap the served weights from a checkpoint on disk
         (POST /v1/reload).  Attached streams keep their slots and carried
         (h, c); the swap waits only for any in-flight device step (the
         scorer lock), so a weight refresh from a nightly retrain needs no
-        server restart and drops no streams."""
+        server restart and drops no streams.  ``ckpt``: pass the
+        already-loaded dict to skip a second deserialize."""
         from vad_tpu.utils.checkpoint import load_checkpoint
+        from vad_tpu.utils.precision import check_served_image_size
 
-        ckpt = load_checkpoint(checkpoint)
+        if ckpt is None:
+            ckpt = load_checkpoint(checkpoint)
         if ckpt.get("model_type") == "image":
             raise ValueError(
                 "image checkpoint cannot reload a video server; this "
                 "server serves the video model"
             )
+        check_served_image_size(ckpt.get("args") or {}, self.scorer.image_size)
         variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
+        # metadata swaps under the same lock as the weights so a scoring
+        # tick never pairs new weights with the old threshold (or vice
+        # versa), and concurrent reloads stay internally consistent
         with self._scorer_lock:
             self.scorer.reload_variables(variables)
-        self.checkpoint = str(checkpoint)
-        self.score_threshold = ckpt.get("score_threshold")
+            self.checkpoint = str(checkpoint)
+            self.score_threshold = _serving_frame_threshold(ckpt)
 
     def _fail_pending(self, exc: Exception) -> None:
         """Caller must hold self._lock."""
@@ -520,16 +537,14 @@ def _make_handler(services: Dict[str, object]):
                         return
                     if len(services) == 1:
                         svc = primary  # its own kind check gives the clearer error
+                        svc.reload(path)
                     else:
                         from vad_tpu.utils.checkpoint import load_checkpoint
 
-                        kind = (
-                            "image"
-                            if load_checkpoint(path).get("model_type") == "image"
-                            else "video"
-                        )
+                        ckpt = load_checkpoint(path)  # loaded once, passed through
+                        kind = "image" if ckpt.get("model_type") == "image" else "video"
                         svc = services[kind]
-                    svc.reload(path)
+                        svc.reload(path, ckpt=ckpt)
                     self._json(200, {"reloaded": path, "model_type": svc.kind})
                     return
                 if self.path == "/v1/images":
@@ -625,27 +640,35 @@ def _make_handler(services: Dict[str, object]):
 
 class CheckpointWatcher:
     """Auto-deploy loop: polls a checkpoint file or results directory and
-    hot-reloads the service when a newer checkpoint appears
+    hot-reloads the service when a checkpoint appears or changes
     (``serve.py --watch``).  A directory is scanned recursively for
-    ``best_model.ckpt`` files and the newest mtime wins — pointed at a
-    ``results/`` tree this auto-deploys every retrain's best model with
-    zero downtime (checkpoint writes are atomic renames, so a poll never
-    sees a half-written file).  Reload failures (architecture change,
-    unreadable file) are printed and retried on the next poll; serving
-    continues on the current weights throughout.
+    ``best_model.ckpt`` files — pointed at a ``results/`` tree this
+    auto-deploys every retrain's best model with zero downtime
+    (checkpoint writes are atomic renames, so a poll never sees a
+    half-written file).
+
+    Every changed candidate is attempted, newest-first — NOT just the
+    globally newest: on a dual-model daemon (``--image-checkpoint``) the
+    image and video retrains both deploy regardless of which finished
+    last, and an undeployable newest file (wrong kind, incompatible
+    architecture) cannot starve an older-but-deployable one.  A file
+    that fails to reload is remembered at its current mtime so it is not
+    retried every poll; a NEW write of it (new mtime) is tried again.
+    Serving continues on the current weights through any failure.
     """
 
     def __init__(self, service, path, interval: float = 30.0,
                  initial: Optional[str] = None) -> None:
-        self.service = service
+        self.service = service  # anything with .reload(path): a scoring
+        # service, or ScoringServer (routes by checkpoint kind)
         self.path = Path(path)
         self.interval = interval
         self._stop = threading.Event()
-        self._seen = None
+        self._seen: Dict[str, float] = {}
         if initial is not None:
             try:
                 p = Path(initial)
-                self._seen = (str(p.resolve()), p.stat().st_mtime)
+                self._seen[str(p.resolve())] = p.stat().st_mtime
             except OSError:
                 pass
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -657,33 +680,73 @@ class CheckpointWatcher:
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def _newest(self):
+    def _candidates(self):
         from vad_tpu.utils.checkpoint import CHECKPOINT_SUFFIX
 
         if self.path.is_file():
-            return self.path
+            return [self.path]
         if not self.path.is_dir():
-            return None
+            return []
         cands = list(self.path.rglob(f"best_model{CHECKPOINT_SUFFIX}"))
-        return max(cands, key=lambda p: p.stat().st_mtime, default=None)
+        cands.sort(key=lambda p: p.stat().st_mtime, reverse=True)
+        return cands
+
+    def _reload(self, path: str, ckpt: dict) -> None:
+        """Deploy one loaded checkpoint into the right service (the target
+        is a single service or a ScoringServer; either way the dict is
+        passed through so the weights deserialize exactly once)."""
+        services = getattr(self.service, "services", None)
+        if services is None:
+            self.service.reload(path, ckpt=ckpt)
+            return
+        kind = "image" if ckpt.get("model_type") == "image" else "video"
+        svc = services.get(kind)
+        if svc is None:
+            raise ValueError(f"no {kind} model is being served")
+        svc.reload(path, ckpt=ckpt)
 
     def poll_once(self) -> bool:
-        """One poll step; True iff a reload happened (tests call this
-        directly so no timing is involved)."""
-        try:
-            p = self._newest()
-            if p is None:
-                return False
-            key = (str(p.resolve()), p.stat().st_mtime)
-            if key == self._seen:
-                return False
-            self.service.reload(str(p))
-            self._seen = key
-            print(f"watch: hot-reloaded {p}", flush=True)
-            return True
-        except Exception as exc:  # keep serving on the current weights
-            print(f"watch: reload of newest checkpoint failed: {exc}", flush=True)
-            return False
+        """One poll step; True iff at least one reload happened (tests
+        call this directly so no timing is involved)."""
+        from vad_tpu.utils.checkpoint import load_checkpoint
+
+        # collect the newest CHANGED candidate per model kind (candidates
+        # come newest-first); older changed files of the same kind are
+        # superseded and only marked seen — deploying them after the
+        # newer one would roll the weights backwards
+        newest_changed: Dict[str, tuple] = {}
+        for p in self._candidates():
+            try:
+                resolved, mtime = str(p.resolve()), p.stat().st_mtime
+            except OSError:
+                continue  # deleted between scan and stat
+            if self._seen.get(resolved) == mtime:
+                continue
+            try:
+                ckpt = load_checkpoint(resolved)
+            except Exception as exc:
+                print(f"watch: cannot read {p}: {exc}", flush=True)
+                self._seen[resolved] = mtime
+                continue
+            kind = "image" if ckpt.get("model_type") == "image" else "video"
+            if kind in newest_changed:
+                self._seen[resolved] = mtime  # superseded
+                continue
+            newest_changed[kind] = (resolved, mtime, ckpt)
+
+        deployed = False
+        for resolved, mtime, ckpt in newest_changed.values():
+            try:
+                self._reload(resolved, ckpt)
+                print(f"watch: hot-reloaded {resolved}", flush=True)
+                deployed = True
+            except Exception as exc:  # keep serving on the current weights
+                print(f"watch: reload of {resolved} failed: {exc}", flush=True)
+            # seen either way: a failed file is retried only when it is
+            # written again (atomic writes make partial reads impossible,
+            # so a failure here is a real incompatibility, not a race)
+            self._seen[resolved] = mtime
+        return deployed
 
     def _loop(self) -> None:
         while not self._stop.wait(self.interval):
@@ -718,14 +781,12 @@ class ScoringServer:
         target on dual-model servers); returns the kind reloaded."""
         from vad_tpu.utils.checkpoint import load_checkpoint
 
-        kind = (
-            "image" if load_checkpoint(checkpoint).get("model_type") == "image"
-            else "video"
-        )
+        ckpt = load_checkpoint(checkpoint)  # loaded once, passed through
+        kind = "image" if ckpt.get("model_type") == "image" else "video"
         svc = self.services.get(kind)
         if svc is None:
             raise ValueError(f"no {kind} model is being served")
-        svc.reload(checkpoint)
+        svc.reload(checkpoint, ckpt=ckpt)
         return kind
 
     def start_background(self) -> None:
@@ -869,7 +930,7 @@ def serve_from_checkpoint(
     scorer.score_chunk(warm)
     vsvc = ScoringService(scorer)
     vsvc.checkpoint = str(checkpoint)
-    vsvc.score_threshold = ckpt.get("score_threshold")
+    vsvc.score_threshold = _serving_frame_threshold(ckpt)
     services: Dict[str, object] = {"video": vsvc}
     if image_checkpoint:
         ickpt = load_checkpoint(image_checkpoint)

@@ -262,7 +262,7 @@ class MultiStreamScorer:
         hot reload.  Raises ValueError on any structural mismatch —
         an architecture change needs a new scorer/server.
         """
-        from vad_tpu.utils.precision import cast_floating
+        from vad_tpu.utils.precision import checked_cast_like
 
         if self.fused_input:
             # the folded input-block weights (_w_band/_bias_folded) are
@@ -272,15 +272,7 @@ class MultiStreamScorer:
                 "hot reload is not supported with fused_input=True; "
                 "restart the server"
             )
-        new = cast_floating(variables, self.dtype) if self.dtype != jnp.float32 else variables
-        old_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), self.variables)
-        new_shapes = jax.tree.map(lambda a: (a.shape, str(a.dtype)), new)
-        if old_shapes != new_shapes:
-            raise ValueError(
-                "checkpoint does not match the served architecture "
-                "(pytree/shape/dtype mismatch); restart the server to "
-                "change architectures"
-            )
+        new = checked_cast_like(variables, self.variables, self.dtype)
         if self.mesh is not None:
             new = jax.device_put(new, self._repl_sh)
         self.variables = new

@@ -143,8 +143,16 @@ def train(args: Any) -> Dict[str, Any]:
         per_sample_loss, mesh, preprocess=u8_normalize, state_shardings=state_sh,
         compute_dtype=compute_dtype, accum_steps=accum_steps,
     )
+    # score per FRAME on device; the sequence score is the mean over
+    # frames (identical reduction to score_method's default — see
+    # reconstruction_error/prediction_error), and the frame granularity
+    # is what serving flags against, so the calibrated frame threshold
+    # must come from the same distribution
+    def score_frames(m, x):
+        return score_method(m, x, per_frame=True)
+
     eval_step = make_eval_step(
-        per_sample_loss, score_method, mesh,
+        per_sample_loss, score_frames, mesh,
         preprocess=u8_normalize, state_shardings=state_sh,
     )
     scheduler = ReduceLROnPlateau(mode="max", factor=0.5, patience=5)
@@ -226,6 +234,7 @@ def train(args: Any) -> Dict[str, Any]:
     profile_dir = getattr(args, "profile_dir", None)
     epoch = start_epoch - 1  # stable if the loop body never runs (resume at end)
     score_threshold = None  # set each epoch from held-out normal scores
+    frame_score_threshold = None
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         if profile_dir and epoch == start_epoch + 1:
@@ -239,24 +248,33 @@ def train(args: Any) -> Dict[str, Any]:
 
         loss_sum, n_eval = 0.0, 0
         normal_err, anomaly_err = [], []
+        normal_frame_scores = []
         for batch, n_real in iter(test_loader):
-            losses, scores = eval_step(state, batch["frames"])
+            losses, frame_scores = eval_step(state, batch["frames"])
             losses = to_host(losses)[:n_real]
-            scores = to_host(scores)[:n_real]
+            frame_scores = to_host(frame_scores)[:n_real]  # [B, T']
+            scores = frame_scores.mean(axis=1)
             loss_sum += float(losses.mean())
             n_eval += 1
             labels = to_host(batch["label"])[:n_real]
             normal_err.extend(scores[labels == 0].tolist())
             anomaly_err.extend(scores[labels == 1].tolist())
+            # every frame of a NORMAL window is normal (window label is
+            # any-frame-anomalous), so these calibrate frame granularity
+            normal_frame_scores.extend(frame_scores[labels == 0].ravel().tolist())
         val_loss = loss_sum / max(n_eval, 1)
         nmean = float(np.mean(normal_err)) if normal_err else 0.0
         amean = float(np.mean(anomaly_err)) if anomaly_err else 0.0
         separation = amean / nmean if nmean > 0 else 0.0
         from vad_tpu.eval.metrics import calibrate_threshold
 
-        # calibrated anomaly threshold (p99 of held-out normal sequence
-        # scores, ~1% FPR) — saved with every checkpoint for serving/UI
+        # calibrated anomaly thresholds (p99 of held-out NORMAL scores,
+        # ~1% FPR), at BOTH granularities: sequence scores for eval-style
+        # window decisions, frame scores for the serving daemon and UI
+        # (which flag per frame — a sequence-mean threshold applied to
+        # frames would flag far more than 1% of normal frames)
         score_threshold = calibrate_threshold(normal_err)
+        frame_score_threshold = calibrate_threshold(normal_frame_scores)
 
         new_lr = scheduler.step(separation, current_learning_rate(state))
         if new_lr != current_learning_rate(state):
@@ -313,6 +331,7 @@ def train(args: Any) -> Dict[str, Any]:
                     "args": args_dict,
                     "model_type": "video",
                     "score_threshold": score_threshold,
+                    "frame_score_threshold": frame_score_threshold,
                     "threshold_method": "p99 of validation normal scores",
                 },
             )
@@ -329,6 +348,9 @@ def train(args: Any) -> Dict[str, Any]:
                 "separation": separation,
                 "args": args_dict,
                 "model_type": "video",
+                "score_threshold": score_threshold,
+                "frame_score_threshold": frame_score_threshold,
+                "threshold_method": "p99 of validation normal scores",
             },
         )
         keep = int(getattr(args, "keep_checkpoints", 0) or 0)
@@ -364,6 +386,7 @@ def train(args: Any) -> Dict[str, Any]:
                 "args": args_dict,
                 "model_type": "video",
                 "score_threshold": score_threshold,
+                "frame_score_threshold": frame_score_threshold,
                 "threshold_method": "p99 of validation normal scores",
             },
         )
@@ -382,6 +405,7 @@ def train(args: Any) -> Dict[str, Any]:
             "args": args_dict,
             "model_type": "video",
             "score_threshold": score_threshold,
+            "frame_score_threshold": frame_score_threshold,
             "threshold_method": "p99 of validation normal scores",
         },
     )

@@ -172,7 +172,10 @@ class AppState:
                 checkpoint_path
             )
             ckpt = load_checkpoint(checkpoint_path)
-            self.video_score_threshold = ckpt.get("score_threshold")
+            # the UI's video analysis scores PER FRAME (stream_scores), so
+            # the frame-granularity threshold is the comparable one; the
+            # sequence-level score_threshold would over-flag normal frames
+            self.video_score_threshold = ckpt.get("frame_score_threshold")
             return (
                 "Video model loaded successfully.\n\n"
                 f"Details:\n"

@@ -55,6 +55,8 @@ def rotate_epoch_checkpoints(results_dir: str | Path, keep: int) -> int:
     which at ~10 MB per epoch fills a disk on long production retrains —
     keeping the default at 0 (= keep all) preserves that behavior.
     Returns the number of files removed."""
+    if keep <= 0:  # documented contract: 0 (or less) = keep all
+        return 0
     results_dir = Path(results_dir)
     epochs = []
     for p in results_dir.glob(f"checkpoint_epoch_*{CHECKPOINT_SUFFIX}"):
