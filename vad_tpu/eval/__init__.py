@@ -1,1 +1,7 @@
-from vad_tpu.eval.metrics import auroc, per_defect_breakdown, separation_ratio  # noqa: F401
+from vad_tpu.eval.metrics import (  # noqa: F401
+    aupro,
+    auroc,
+    calibrate_threshold,
+    per_defect_breakdown,
+    separation_ratio,
+)
