@@ -203,6 +203,25 @@ class TestGradAccum:
         assert abs(losses[1] - losses[2]) / abs(losses[1]) < 1e-5
         assert losses[1] < 10.0  # poison (avg ~1e4 loss) did not leak in
 
+    def test_accum_composes_with_remat_and_bf16_video(self):
+        """The documented composition: --accum-steps + --remat + --precision
+        bf16 on the video model in one compiled step."""
+        from vad_tpu.models.video_autoencoder import VideoAutoencoder
+
+        model = VideoAutoencoder(latent_dim=32, lstm_hidden_dim=32, remat=True)
+        x = np.random.default_rng(9).normal(size=(8, 3, 32, 32, 3)).astype(np.float32)
+        variables = model.init(jax.random.key(0), jnp.asarray(x[:1, :2]), train=False)
+        state = create_train_state(model, variables, 1e-3)
+        step = make_train_step(
+            mse_per_sample, get_mesh(), accum_steps=2,
+            compute_dtype=jnp.bfloat16,
+        )
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(8))
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree.leaves((state.params, state.opt_state)):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+
     def test_accum_batchnorm_converges_and_composes_with_bf16(self):
         _, state = small_state(lr=3e-3)
         step = make_train_step(
