@@ -120,11 +120,32 @@ V5E_PEAK_BF16_FLOPS = 197e12  # per chip
 
 
 def main() -> None:
+    import os
+    import threading
+
+    # fail fast with a diagnostic if the device cannot be attached: a
+    # wedged/unavailable remote TPU otherwise blocks silently inside
+    # backend init for ~30 minutes (observed), which reads as a hang
+    attached = threading.Event()
+
+    def _watchdog() -> None:
+        if not attached.wait(600):
+            print(json.dumps({
+                "error": "TPU attach timed out after 600 s "
+                         "(backend wedged or unavailable); no benchmark run"
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
     from vad_tpu.models.video_autoencoder import ConvLSTM, VideoAutoencoder
     from vad_tpu.utils.precision import cast_floating
+
+    jax.devices()  # force backend init under the watchdog
+    attached.set()
 
     image_size = 256
     streams = 16  # parallel camera streams per chip (saturation point on v5e)
