@@ -130,6 +130,50 @@ class TestAupro:
     def test_no_defects_is_nan(self, rng):
         assert np.isnan(metrics.aupro(np.zeros((2, 8, 8)), rng.normal(size=(2, 8, 8))))
 
+    @staticmethod
+    def _aupro_oracle(masks, maps, fpr_limit=0.3):
+        """Independent brute-force AUPRO: sweep EVERY distinct score as a
+        threshold (detection rule: score >= t, matching the searchsorted
+        convention), trace (FPR, mean-PRO), anchor FPR=0 at a threshold
+        above every normal pixel, clip at fpr_limit by interpolation."""
+        masks = np.asarray(masks) > 0.5
+        maps = np.asarray(maps, np.float64)
+        comps = []
+        for m, e in zip(masks, maps):
+            if not m.any():
+                continue
+            lab, k = metrics._label_components(m)
+            comps.extend(e[lab == c] for c in range(1, k + 1))
+        normal = maps[~masks]
+        pts = [(0.0, np.mean([(c > normal.max()).mean() for c in comps]))]
+        for t in np.unique(maps):
+            fpr = (normal >= t).mean()
+            pro = np.mean([(c >= t).mean() for c in comps])
+            pts.append((fpr, pro))
+        pts.sort()
+        fprs = np.array([p[0] for p in pts])
+        pros = np.array([p[1] for p in pts])
+        keep = fprs <= fpr_limit
+        f_kept, p_kept = fprs[keep], pros[keep]
+        if f_kept[-1] < fpr_limit:
+            f_kept = np.concatenate([f_kept, [fpr_limit]])
+            p_kept = np.concatenate([p_kept, [np.interp(fpr_limit, fprs, pros)]])
+        return float(np.trapezoid(p_kept, f_kept) / fpr_limit)
+
+    def test_matches_bruteforce_oracle(self, rng):
+        """The quantile-sampled implementation tracks an exact
+        every-threshold sweep on random continuous maps (dense smooth
+        curves), a strong detector, and a partially-informative one."""
+        masks, noise = self._fixture(rng)
+        for maps in (
+            rng.normal(size=masks.shape),            # chance-level
+            noise + 3.0 * masks + rng.normal(size=masks.shape),  # strong
+            noise + 0.8 * masks,                     # partial separation
+        ):
+            got = metrics.aupro(masks, maps)
+            want = self._aupro_oracle(masks, maps)
+            assert got == pytest.approx(want, abs=0.02), (got, want)
+
 
 class TestCalibrateThreshold:
     def test_quantile_of_normal_scores(self):
