@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "whenever it changes")
     p.add_argument("--watch-interval", type=float, default=30.0,
                    help="Seconds between --watch polls")
+    p.add_argument("--alert-url", type=str, default=None, metavar="URL",
+                   help="POST a JSON alert here when a video stream stays "
+                        "above the calibrated threshold for --alert-consecutive "
+                        "chunks (needs a checkpoint with a calibrated "
+                        "frame threshold)")
+    p.add_argument("--alert-consecutive", type=int, default=3,
+                   help="Consecutive anomalous chunks before alerting")
+    p.add_argument("--alert-cooldown", type=float, default=60.0,
+                   help="Seconds between repeat alerts for the same stream")
     return p
 
 
@@ -75,6 +84,23 @@ def main() -> None:
     if args.image_checkpoint:
         desc += f" + image model {args.image_checkpoint}"
     print(f"Serving {args.checkpoint} on {args.host}:{server.port} ({desc}, {h['dtype']})")
+    notifier = None
+    if args.alert_url:
+        vsvc = server.services.get("video")
+        if vsvc is None:
+            parser.error("--alert-url requires a video model (stream alerts)")
+        from vad_tpu.eval.alerts import AlertNotifier
+
+        notifier = AlertNotifier(
+            args.alert_url, consecutive=args.alert_consecutive,
+            cooldown=args.alert_cooldown,
+        )
+        vsvc.notifier = notifier
+        if vsvc.score_threshold is None:
+            print("WARNING: checkpoint has no calibrated frame threshold; "
+                  "alerts will not fire until one is hot-reloaded in")
+        print(f"Alerting to {args.alert_url} after "
+              f"{args.alert_consecutive} consecutive anomalous chunks")
     watcher = None
     if args.watch:
         from vad_tpu.eval.http_server import CheckpointWatcher
@@ -93,6 +119,8 @@ def main() -> None:
     except KeyboardInterrupt:
         if watcher is not None:
             watcher.stop()
+        if notifier is not None:
+            notifier.close()
         server.close()
 
 

@@ -322,6 +322,9 @@ class ScoringService:
     # calibrated anomaly threshold from the checkpoint (p99 of validation
     # normal sequence scores); None = serve raw scores only
     score_threshold: Optional[float] = None
+    # optional AlertNotifier (serve.py --alert-url): fed each attached
+    # stream's chunk scores so sustained anomalies fire webhooks
+    notifier = None
 
     def __init__(self, scorer) -> None:
         self.scorer = scorer
@@ -361,6 +364,8 @@ class ScoringService:
             pend = self._pending.pop(slot, None)
         if pend is not None:
             pend[1].set_exception(RuntimeError(f"slot {slot} detached"))
+        if self.notifier is not None:
+            self.notifier.reset(slot)
 
     # ------------------------------------------------------------- score
 
@@ -417,7 +422,14 @@ class ScoringService:
                 self.metrics.record_step(time.time() - t0)
                 for slot, (_, fut) in batch_items.items():
                     if still_active[slot]:
-                        fut.set_result(np.asarray(scores[slot], np.float64))
+                        slot_scores = np.asarray(scores[slot], np.float64)
+                        if self.notifier is not None:
+                            # counter update + queue put only; delivery is
+                            # on the notifier's own thread
+                            self.notifier.observe(
+                                slot, slot_scores, self.score_threshold
+                            )
+                        fut.set_result(slot_scores)
                     else:
                         # detached while the chunk was on the device: its
                         # scores are NaN-masked, don't hand those out
