@@ -153,9 +153,13 @@ def test_daemon_fires_webhook_end_to_end(webhook):
             resp = conn.getresponse()
             resp.read()  # drain the keep-alive connection for the next request
             assert resp.status == 200
-        conn.close()
         assert _wait_for(webhook["received"], 1) == 1
         assert webhook["received"][0]["slot"] == slot
+        # delivery counters surface in /v1/metrics
+        conn.request("GET", "/v1/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert m["alerts"]["delivered"] == 1 and m["alerts"]["failed"] == 0
+        conn.close()
     finally:
         service.notifier.close()
         srv.close()

@@ -468,6 +468,15 @@ class ScoringService:
             self.checkpoint = str(checkpoint)
             self.score_threshold = _serving_frame_threshold(ckpt)
 
+    def metrics_snapshot(self) -> dict:
+        snap = self.metrics.snapshot()
+        if self.notifier is not None:
+            snap["alerts"] = {
+                "delivered": self.notifier.delivered,
+                "failed": self.notifier.failed,
+            }
+        return snap
+
     def _fail_pending(self, exc: Exception) -> None:
         """Caller must hold self._lock."""
         for _, fut in self._pending.values():
@@ -526,10 +535,14 @@ def _make_handler(services: Dict[str, object]):
                         **{k: s.health() for k, s in services.items()},
                     })
             elif self.path == "/v1/metrics":
+                def snap(s):
+                    fn = getattr(s, "metrics_snapshot", None)
+                    return fn() if fn is not None else s.metrics.snapshot()
+
                 if len(services) == 1:
-                    self._json(200, primary.metrics.snapshot())
+                    self._json(200, snap(primary))
                 else:
-                    self._json(200, {k: s.metrics.snapshot() for k, s in services.items()})
+                    self._json(200, {k: snap(s) for k, s in services.items()})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
