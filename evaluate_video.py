@@ -24,6 +24,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Path to single video file for inference")
     parser.add_argument("--output-video", type=str, default=None,
                         help="Path for output annotated video")
+    parser.add_argument("--video-dir", type=str, default=None,
+                        help="Score EVERY video file under this directory "
+                             "concurrently (batched over multi-stream "
+                             "slots); writes batch_scores.json + per-video "
+                             "score timelines to --output-dir")
+    parser.add_argument("--output-dir", type=str, default=None,
+                        help="Output directory for --video-dir results "
+                             "(default <checkpoint_dir>/batch_scoring)")
+    parser.add_argument("--slots", type=int, default=None,
+                        help="Concurrent stream slots for --video-dir "
+                             "(default min(n_videos, 16))")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Score batches data-parallel over all visible "
                              "chips (shard_map over the 'data' mesh axis; "
@@ -36,7 +47,16 @@ if __name__ == "__main__":
     print("=" * 60)
     print("VIDEO ANOMALY DETECTION EVALUATION")
     print("=" * 60)
-    if args.video:
+    if args.video_dir:
+        from vad_tpu.eval.batch_score import score_video_dir
+
+        score_video_dir(
+            args.checkpoint,
+            args.video_dir,
+            output_dir=args.output_dir,
+            num_slots=args.slots,
+        )
+    elif args.video:
         from vad_tpu.eval.video_eval import load_video_model
         from vad_tpu.eval.video_render import generate_video_output
 

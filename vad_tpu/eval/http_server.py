@@ -301,18 +301,11 @@ class ImageScoringService:
 
 
 def _serving_frame_threshold(ckpt: dict) -> Optional[float]:
-    """The calibrated threshold valid for the video daemon's PER-FRAME
-    reconstruction scores: ``frame_score_threshold`` (p99 of held-out
-    normal FRAME scores), and only when the checkpoint's training
-    objective was reconstruction — the sequence-level ``score_threshold``
-    applied to frame scores would flag far more than its ~1% of normal
-    frames (frame errors fluctuate around their sequence mean), and a
-    predict-calibrated threshold is on a different score scale than the
-    reconstruction error ``stream_step`` emits."""
-    obj = (ckpt.get("args") or {}).get("objective", "reconstruct") or "reconstruct"
-    if obj != "reconstruct":
-        return None
-    return ckpt.get("frame_score_threshold")
+    """Shared with batch video scoring — see
+    vad_tpu.eval.metrics.serving_frame_threshold for the rationale."""
+    from vad_tpu.eval.metrics import serving_frame_threshold
+
+    return serving_frame_threshold(ckpt)
 
 
 class ScoringService:

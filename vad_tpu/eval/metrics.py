@@ -187,6 +187,21 @@ def calibrate_threshold(
     return float(np.quantile(s, quantile))
 
 
+def serving_frame_threshold(ckpt: dict) -> float | None:
+    """The calibrated threshold valid for PER-FRAME reconstruction scores
+    (serving daemon, batch video scoring): ``frame_score_threshold`` (p99
+    of held-out normal FRAME scores), and only when the checkpoint's
+    training objective was reconstruction — the sequence-level
+    ``score_threshold`` applied to frame scores would flag far more than
+    its ~1% of normal frames (frame errors fluctuate around their
+    sequence mean), and a predict-calibrated threshold is on a different
+    score scale than the reconstruction error ``stream_step`` emits."""
+    obj = (ckpt.get("args") or {}).get("objective", "reconstruct") or "reconstruct"
+    if obj != "reconstruct":
+        return None
+    return ckpt.get("frame_score_threshold")
+
+
 def separation_ratio(normal_scores: Sequence[float], anomaly_scores: Sequence[float]) -> float:
     """mean(anomaly) / mean(normal) — the reference's model-selection and
     monitoring metric (train.py:195, train_video.py:209)."""
