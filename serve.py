@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--slots", type=int, default=16,
                    help="Parallel stream capacity (video) / batch capacity (image)")
     p.add_argument("--chunk", type=int, default=16, help="Frames per scoring request")
+    p.add_argument("--slot-ttl", type=float, default=None, metavar="SECONDS",
+                   help="Reclaim video stream slots idle longer than this "
+                        "when capacity runs out (a crashed client cannot "
+                        "leak its slot forever); default: slots are only "
+                        "freed by explicit DELETE")
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"],
                    help="Serving precision policy")
     p.add_argument("--fused-input", action="store_true",
@@ -74,7 +79,7 @@ def main() -> None:
         args.checkpoint, args.host, args.port, args.slots, args.chunk,
         args.dtype, fused_input=args.fused_input or None,
         data_parallel=args.data_parallel, spatial_parallel=args.spatial,
-        image_checkpoint=args.image_checkpoint,
+        image_checkpoint=args.image_checkpoint, slot_ttl=args.slot_ttl,
     )
     h = server.service.health()
     if h["model_type"] == "video":

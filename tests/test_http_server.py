@@ -638,3 +638,99 @@ def test_spatial_sharded_server_parity():
         np.testing.assert_allclose(got["scores"], want, rtol=2e-5, atol=1e-6)
     finally:
         srv.close()
+
+
+def test_prometheus_metrics_format(server):
+    """GET /v1/metrics?format=prometheus emits valid text exposition:
+    counters labeled by model kind, a cumulative-le latency histogram."""
+    # ensure at least one request/step is on the books
+    _, r = _req(server, "POST", "/v1/streams")
+    frames = np.random.default_rng(7).integers(
+        0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8
+    )
+    _post_frames(server, r["slot"], frames)
+    _req(server, "DELETE", f"/v1/streams/{r['slot']}")
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+    conn.request("GET", "/v1/metrics?format=prometheus")
+    resp = conn.getresponse()
+    text = resp.read().decode()
+    ctype = resp.getheader("Content-Type")
+    conn.close()
+    assert resp.status == 200
+    assert ctype.startswith("text/plain")
+    assert '# TYPE vad_requests_total counter' in text
+    assert 'vad_requests_total{model="video"} ' in text
+    assert 'vad_frames_scored_total{model="video"} ' in text
+    # histogram: cumulative buckets ending in +Inf, sum and count present
+    _, m = _req(server, "GET", "/v1/metrics")
+    lat = m["device_step_latency"]
+    inf_line = f'vad_device_step_latency_ms_bucket{{model="video",le="+Inf"}} {lat["count"]}'
+    assert inf_line in text
+    assert f'vad_device_step_latency_ms_count{{model="video"}} {lat["count"]}' in text
+    # bucket counts are monotone non-decreasing (cumulative)
+    buckets = [int(line.rsplit(" ", 1)[1]) for line in text.splitlines()
+               if line.startswith("vad_device_step_latency_ms_bucket")]
+    assert buckets == sorted(buckets)
+
+
+def test_frames_shape_rejected_before_buffering(server):
+    """A wrong DECLARED shape on /v1/streams/<s>/frames 400s without the
+    server buffering the (possibly huge) body, mirroring /v1/images."""
+    _, r = _req(server, "POST", "/v1/streams")
+    # declared T is wrong -> rejected on the header alone (tiny body sent)
+    status, err = _req(
+        server, "POST", f"/v1/streams/{r['slot']}/frames", body=b"",
+        headers={"X-Frames-Shape": f"{CHUNK + 1},{SIZE},{SIZE},3",
+                 "Content-Length": "0"},
+    )
+    assert status == 400 and "expected X-Frames-Shape" in err["error"]
+    # right shape, wrong Content-Length -> rejected before np sees it
+    status, err = _req(
+        server, "POST", f"/v1/streams/{r['slot']}/frames", body=b"xy",
+        headers={"X-Frames-Shape": f"{CHUNK},{SIZE},{SIZE},3"},
+    )
+    assert status == 400 and "Content-Length" in err["error"]
+    _req(server, "DELETE", f"/v1/streams/{r['slot']}")
+
+
+def test_slot_ttl_reaps_idle_slots():
+    """With --slot-ttl, attach() under full occupancy reclaims expired
+    idle slots (never ones with a chunk in flight)."""
+    from concurrent.futures import Future
+
+    from vad_tpu.eval.http_server import ScoringService
+
+    model = VideoAutoencoder()
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False
+    )
+    scorer = MultiStreamScorer(model, variables, 2, CHUNK, SIZE)
+    svc = ScoringService(scorer, slot_ttl=10.0)
+    try:
+        t = [1000.0]
+        svc._now = lambda: t[0]
+        a = svc.attach()
+        b = svc.attach()
+        # capacity full, nothing expired -> attach still fails
+        with pytest.raises(RuntimeError):
+            svc.attach()
+        # expire both, but give A a chunk in flight: only B is reapable
+        t[0] += 11.0
+        with svc._lock:
+            svc._pending[a] = (np.zeros((CHUNK, SIZE, SIZE, 3), np.uint8), Future())
+        got = svc.attach()
+        assert got == b  # B reaped and recycled; A survived its TTL
+        with svc._lock:
+            svc._pending.pop(a)
+        assert sorted(int(s) for s in scorer.active_slots) == sorted([a, got])
+        # without a TTL, a full scorer never reaps
+        svc2 = ScoringService(MultiStreamScorer(model, variables, 1, CHUNK, SIZE))
+        try:
+            svc2.attach()
+            with pytest.raises(RuntimeError):
+                svc2.attach()
+        finally:
+            svc2.close()
+    finally:
+        svc.close()

@@ -108,6 +108,7 @@ class ServiceMetrics:
             if self._lat_count:
                 lat = {
                     "count": self._lat_count,
+                    "sum_ms": round(self._lat_sum, 3),
                     "mean_ms": round(self._lat_sum / self._lat_count, 3),
                     "min_ms": round(self._lat_min, 3),
                     "max_ms": round(self._lat_max, 3),
@@ -122,6 +123,56 @@ class ServiceMetrics:
                 "errors": self.errors,
                 "device_step_latency": lat,
             }
+
+
+def prometheus_text(snapshots: Dict[str, dict]) -> str:
+    """Render metric snapshots ({model_kind: ServiceMetrics.snapshot()+})
+    in the Prometheus text exposition format
+    (GET /v1/metrics?format=prometheus) so a standard scrape target works
+    against the daemon without an adapter.  Counters become *_total
+    series labeled by model kind; the device-step latency histogram
+    becomes a Prometheus histogram (cumulative le buckets)."""
+    lines = []
+
+    def counter(name: str, help_: str, key: str) -> None:
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} counter")
+        for kind, snap in snapshots.items():
+            lines.append(f'{name}{{model="{kind}"}} {snap[key]}')
+
+    counter("vad_requests_total", "Scoring requests received.", "requests")
+    counter("vad_frames_scored_total", "Frames scored.", "frames_scored")
+    counter("vad_device_steps_total", "Compiled device steps executed.",
+            "device_steps")
+    counter("vad_errors_total", "Requests rejected with an error.", "errors")
+    lines.append("# HELP vad_device_step_latency_ms Device step latency.")
+    lines.append("# TYPE vad_device_step_latency_ms histogram")
+    for kind, snap in snapshots.items():
+        lat = snap.get("device_step_latency")
+        if not lat:
+            continue
+        cum = 0
+        for edge, count in zip(lat["hist_bucket_edges_ms"], lat["hist_counts"]):
+            cum += count
+            lines.append(
+                f'vad_device_step_latency_ms_bucket{{model="{kind}",le="{edge}"}} {cum}'
+            )
+        lines.append(
+            f'vad_device_step_latency_ms_bucket{{model="{kind}",le="+Inf"}} {lat["count"]}'
+        )
+        lines.append(f'vad_device_step_latency_ms_sum{{model="{kind}"}} {lat["sum_ms"]}')
+        lines.append(f'vad_device_step_latency_ms_count{{model="{kind}"}} {lat["count"]}')
+    alerted = {k: s["alerts"] for k, s in snapshots.items() if "alerts" in s}
+    if alerted:
+        for name, help_, key in (
+            ("vad_alerts_delivered_total", "Webhook alerts delivered.", "delivered"),
+            ("vad_alerts_failed_total", "Webhook alert deliveries failed.", "failed"),
+        ):
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} counter")
+            for kind, alerts in alerted.items():
+                lines.append(f'{name}{{model="{kind}"}} {alerts[key]}')
+    return "\n".join(lines) + "\n"
 
 
 class ImageScoringService:
@@ -319,8 +370,21 @@ class ScoringService:
     # stream's chunk scores so sustained anomalies fire webhooks
     notifier = None
 
-    def __init__(self, scorer) -> None:
+    def __init__(self, scorer, slot_ttl: Optional[float] = None) -> None:
+        """``slot_ttl``: seconds of inactivity after which an attached
+        slot may be reclaimed when capacity runs out (serve.py
+        --slot-ttl).  A client that dies without DELETE would otherwise
+        leak its slot until a server restart; with a TTL, attach() under
+        full occupancy reaps expired slots (never ones with a chunk in
+        flight) instead of failing.  None (default) = slots are only
+        ever freed by an explicit detach — reference-free clients must
+        opt in."""
+        import time as _time
+
         self.scorer = scorer
+        self.slot_ttl = slot_ttl
+        self._now = _time.time
+        self._last_activity: Dict[int, float] = {}
         self._lock = threading.Lock()  # guards _pending / _stop
         # serializes every mutation of the scorer's carried state: the
         # batched device step vs. attach/detach slot resets.  Without it
@@ -347,12 +411,44 @@ class ScoringService:
         if slot is not None:
             self._check_slot(slot)
         with self._scorer_lock:
-            return self.scorer.attach(slot)
+            try:
+                got = self.scorer.attach(slot)
+            except RuntimeError:
+                if slot is not None or not self._reap_expired_locked():
+                    raise
+                got = self.scorer.attach(slot)
+        self._last_activity[got] = self._now()
+        return got
+
+    def _reap_expired_locked(self) -> int:
+        """Detach slots idle past slot_ttl (caller holds _scorer_lock);
+        returns how many were reclaimed.  Slots with a pending chunk are
+        active by definition and never reaped."""
+        if self.slot_ttl is None:
+            return 0
+        now = self._now()
+        reaped = 0
+        with self._lock:
+            pending = set(self._pending)
+        for s in list(self.scorer.active_slots):
+            s = int(s)
+            if s in pending:
+                continue
+            if now - self._last_activity.get(s, now) > self.slot_ttl:
+                self.scorer.detach(s)
+                self._last_activity.pop(s, None)
+                if self.notifier is not None:
+                    self.notifier.reset(s)
+                print(f"serve: reaped idle slot {s} (ttl {self.slot_ttl}s)",
+                      flush=True)
+                reaped += 1
+        return reaped
 
     def detach(self, slot: int) -> None:
         self._check_slot(slot)
         with self._scorer_lock:
             self.scorer.detach(slot)
+        self._last_activity.pop(slot, None)
         with self._lock:
             pend = self._pending.pop(slot, None)
         if pend is not None:
@@ -378,6 +474,7 @@ class ScoringService:
             if slot in self._pending:
                 raise RuntimeError(f"slot {slot} already has a chunk in flight")
             self._pending[slot] = (frames, fut)
+        self._last_activity[slot] = self._now()
         self.metrics.record_request(s.chunk)
         self._wake.set()
         return fut
@@ -493,6 +590,7 @@ class ScoringService:
             "dtype": str(s.dtype),
             "fused_input": bool(getattr(s, "fused_input", False)),
             "active_slots": [int(i) for i in s.active_slots],
+            "slot_ttl": self.slot_ttl,
             "checkpoint": getattr(self, "checkpoint", None),
             "score_threshold": self.score_threshold,
         }
@@ -519,7 +617,10 @@ def _make_handler(services: Dict[str, object]):
             self.wfile.write(body)
 
         def do_GET(self) -> None:
-            if self.path == "/v1/health":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/v1/health":
                 if len(services) == 1:
                     self._json(200, primary.health())
                 else:
@@ -527,12 +628,23 @@ def _make_handler(services: Dict[str, object]):
                         "model_type": "image+video",
                         **{k: s.health() for k, s in services.items()},
                     })
-            elif self.path == "/v1/metrics":
+            elif url.path == "/v1/metrics":
                 def snap(s):
                     fn = getattr(s, "metrics_snapshot", None)
                     return fn() if fn is not None else s.metrics.snapshot()
 
-                if len(services) == 1:
+                fmt = parse_qs(url.query).get("format", ["json"])[0]
+                if fmt == "prometheus":
+                    body = prometheus_text(
+                        {k: snap(s) for k, s in services.items()}
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif len(services) == 1:
                     self._json(200, snap(primary))
                 else:
                     self._json(200, {k: snap(s) for k, s in services.items()})
@@ -614,7 +726,24 @@ def _make_handler(services: Dict[str, object]):
                     shape = tuple(
                         int(v) for v in self.headers.get("X-Frames-Shape", "").split(",")
                     )
+                    # validate the DECLARED shape before buffering the
+                    # body (like /v1/images): a bogus or hostile
+                    # Content-Length can otherwise pin arbitrary RAM
+                    expect = (svc.scorer.chunk,) + svc.scorer.image_hw + (3,)
+                    if shape != expect:
+                        svc.metrics.record_error()
+                        self._json(400, {
+                            "error": f"expected X-Frames-Shape {expect}, got {shape}"
+                        })
+                        return
                     n = int(self.headers.get("Content-Length", 0))
+                    if n != int(np.prod(shape)):
+                        svc.metrics.record_error()
+                        self._json(400, {
+                            "error": f"Content-Length {n} does not match "
+                                     f"X-Frames-Shape {shape}"
+                        })
+                        return
                     raw = self.rfile.read(n)
                     frames = np.frombuffer(raw, np.uint8).reshape(shape)
                     # generous bound: the first-ever chunk pays the jit
@@ -862,6 +991,7 @@ def serve_from_checkpoint(
     data_parallel: bool = False,
     spatial_parallel: int = 1,
     image_checkpoint: Optional[str] = None,
+    slot_ttl: Optional[float] = None,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
 
@@ -887,7 +1017,10 @@ def serve_from_checkpoint(
     inputs; see the ``spatial`` docs on both services).  Implies a mesh
     even without ``data_parallel``; for video it forces the XLA
     recurrence backend (the Pallas kernel is opaque to the SPMD
-    partitioner)."""
+    partitioner).
+
+    ``slot_ttl``: reclaim video stream slots idle longer than this many
+    seconds when attach() finds no free slot (see ScoringService)."""
     import jax.numpy as jnp
 
     from vad_tpu.utils.checkpoint import load_checkpoint
@@ -946,7 +1079,7 @@ def serve_from_checkpoint(
     # pay the jit compile before accepting traffic
     warm = np.zeros((num_slots, chunk) + scorer.image_hw + (3,), np.uint8)
     scorer.score_chunk(warm)
-    vsvc = ScoringService(scorer)
+    vsvc = ScoringService(scorer, slot_ttl=slot_ttl)
     vsvc.checkpoint = str(checkpoint)
     vsvc.score_threshold = _serving_frame_threshold(ckpt)
     services: Dict[str, object] = {"video": vsvc}
