@@ -42,11 +42,20 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
-            x = make_norm(self.norm, train)(x)
-            x = nn.leaky_relu(x, negative_slope=0.2)
-        return nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = make_norm(self.norm, train)(x)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        x = make_norm(self.norm, train)(x)
+        # pool BEFORE the activation: LeakyReLU(0.2) is strictly monotone,
+        # so max-pool commutes with it bitwise — identical outputs,
+        # gradients and checkpoints — and the activation then runs on 1/4
+        # the pixels.  Measured end-to-end NEUTRAL on the training step
+        # (tools/profile_train.py: 31.2 ms either way — XLA fuses the
+        # activation and its backward mask into the neighbors in both
+        # orders); kept because it is strictly less work and free.
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return nn.leaky_relu(x, negative_slope=0.2)
 
 
 class Encoder(nn.Module):

@@ -259,8 +259,14 @@ class VideoEncoder(nn.Module):
             )(x)
             norm_name = ("BatchNorm" if self.norm == "batch" else "GroupNorm") + f"_{i}"
             x = make_norm(self.norm, train, name=norm_name)(x)
-            x = nn.leaky_relu(x, negative_slope=0.2)
+            # pool before the activation: LeakyReLU(0.2) is strictly
+            # monotone, so 2x2 max-pool commutes with it bitwise
+            # (identical outputs/gradients/checkpoints) and the activation
+            # runs on 1/4 the pixels; end-to-end neutral (XLA fuses the
+            # mask either way), kept as strictly-less-work — see
+            # models/autoencoder.py EncoderBlock and tools/profile_train.py
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.leaky_relu(x, negative_slope=0.2)
         if seq_shape is not None:
             x = x.reshape(*seq_shape, *x.shape[1:])
         return x
