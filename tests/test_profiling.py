@@ -35,3 +35,28 @@ def test_metrics_logger_roundtrip(tmp_path):
 
 def test_metrics_logger_empty_read(tmp_path):
     assert MetricsLogger(tmp_path / "sub").read() == []
+
+
+def test_device_memory_report_shape():
+    """On CPU the backend may or may not expose memory_stats; either way
+    the report is None or a dict of GiB floats and the formatter matches."""
+    from vad_tpu.utils.profiling import device_memory_report, format_memory_report
+
+    mem = device_memory_report()
+    if mem is None:
+        assert format_memory_report(mem) is None
+    else:
+        assert all(isinstance(v, float) and v >= 0 for v in mem.values())
+        assert set(mem) <= {"in_use_gib", "peak_gib", "limit_gib", "live_arrays_gib"}
+        assert format_memory_report(mem).startswith("HBM: ")
+
+
+def test_format_memory_report_line():
+    from vad_tpu.utils.profiling import format_memory_report
+
+    line = format_memory_report(
+        {"peak_gib": 1.25, "in_use_gib": 0.5, "limit_gib": 15.5}
+    )
+    assert line == "HBM: peak 1.25 GiB, in use 0.50 GiB, limit 15.50 GiB"
+    assert format_memory_report({}) is None
+    assert format_memory_report(None) is None

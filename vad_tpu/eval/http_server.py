@@ -341,6 +341,8 @@ class ImageScoringService:
         pass
 
     def health(self) -> dict:
+        from vad_tpu.utils.profiling import device_memory_report
+
         return {
             "model_type": "image",
             "batch": self.batch,
@@ -348,6 +350,7 @@ class ImageScoringService:
             "dtype": str(self.dtype),
             "checkpoint": getattr(self, "checkpoint", None),
             "score_threshold": self.score_threshold,
+            "hbm": device_memory_report(),
         }
 
 
@@ -581,6 +584,8 @@ class ScoringService:
         self._thread.join(timeout=5)
 
     def health(self) -> dict:
+        from vad_tpu.utils.profiling import device_memory_report
+
         s = self.scorer
         return {
             "model_type": "video",
@@ -593,6 +598,7 @@ class ScoringService:
             "slot_ttl": self.slot_ttl,
             "checkpoint": getattr(self, "checkpoint", None),
             "score_threshold": self.score_threshold,
+            "hbm": device_memory_report(),
         }
 
 

@@ -246,6 +246,19 @@ def train(args: Any) -> Dict[str, Any]:
             f"({time.time() - t0:.1f}s)",
             flush=True,
         )
+        if epoch == start_epoch:
+            # once per run (see video_trainer): the operator's does-it-fit
+            # number for batch/resolution headroom on this chip
+            from vad_tpu.utils.profiling import (
+                device_memory_report,
+                format_memory_report,
+            )
+
+            mem = device_memory_report()
+            line = format_memory_report(mem)
+            if line is not None:
+                print(f"  {line}", flush=True)
+                metrics.log(epoch, **{f"hbm_{k}": v for k, v in mem.items()})
         metrics.log(
             epoch,
             train_loss=train_loss,

@@ -301,6 +301,20 @@ def train(args: Any) -> Dict[str, Any]:
             f"({time.time() - t0:.1f}s)",
             flush=True,
         )
+        if epoch == start_epoch:
+            # once per run, after the first full train+eval epoch (the
+            # HBM peak is established by then): the number that tells an
+            # operator whether a bigger batch/sequence/resolution fits
+            from vad_tpu.utils.profiling import (
+                device_memory_report,
+                format_memory_report,
+            )
+
+            mem = device_memory_report()
+            line = format_memory_report(mem)
+            if line is not None:
+                print(f"  {line}", flush=True)
+                metrics.log(epoch, **{f"hbm_{k}": v for k, v in mem.items()})
         metrics.log(
             epoch,
             train_loss=train_loss,

@@ -25,6 +25,59 @@ import jax
 import numpy as np
 
 
+def device_memory_report() -> Optional[Dict[str, float]]:
+    """Live HBM usage of device 0 from the runtime allocator, in GiB.
+
+    Peak is the number that matters operationally: it is what decides
+    whether a batch/sequence/resolution fits the chip (the reference's
+    answer was a README tip to shrink the batch by hand).  Returns None
+    on backends that expose no memory_stats (CPU, some emulators) —
+    callers print nothing rather than zeros.
+    """
+    gib = 1024**3
+    dev = jax.local_devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if not stats:
+        # allocator stats unavailable (CPU backend, or a remote/tunneled
+        # TPU plugin that doesn't forward them): fall back to accounting
+        # the LIVE jax arrays — params, opt state, carried stream state,
+        # prefetched batches.  No peak and no XLA workspace, but it is
+        # the resident-state number an operator can act on.
+        try:
+            live = sum(a.nbytes for a in jax.live_arrays())
+        except Exception:
+            return None
+        return {"live_arrays_gib": round(live / gib, 3)} if live else None
+    out = {}
+    for src, dst in (
+        ("bytes_in_use", "in_use_gib"),
+        ("peak_bytes_in_use", "peak_gib"),
+        ("bytes_limit", "limit_gib"),
+    ):
+        if src in stats:
+            out[dst] = round(stats[src] / gib, 3)
+    return out or None
+
+
+def format_memory_report(mem: Optional[Dict[str, float]]) -> Optional[str]:
+    """One human line from device_memory_report(), or None."""
+    if not mem:
+        return None
+    parts = []
+    if "peak_gib" in mem:
+        parts.append(f"peak {mem['peak_gib']:.2f} GiB")
+    if "in_use_gib" in mem:
+        parts.append(f"in use {mem['in_use_gib']:.2f} GiB")
+    if "limit_gib" in mem:
+        parts.append(f"limit {mem['limit_gib']:.2f} GiB")
+    if "live_arrays_gib" in mem:
+        parts.append(
+            f"live arrays {mem['live_arrays_gib']:.2f} GiB "
+            "(allocator stats unavailable)"
+        )
+    return "HBM: " + ", ".join(parts) if parts else None
+
+
 @contextlib.contextmanager
 def trace(logdir: str | Path) -> Iterator[None]:
     """Capture a device trace for the enclosed block."""
