@@ -734,3 +734,75 @@ def test_slot_ttl_reaps_idle_slots():
             svc2.close()
     finally:
         svc.close()
+
+
+def test_fuzz_never_kills_the_server(server):
+    """Hostile/garbage traffic must map to 4xx JSON errors (or a closed
+    connection), never crash the daemon or wedge later well-formed
+    requests.  Every case ends with a healthy /v1/health + a real score
+    round-trip, so a handler that died mid-request would be caught."""
+    import socket
+
+    rng = np.random.default_rng(7)
+
+    def raw(payload: bytes):
+        """Send raw bytes on a fresh socket; tolerate any server reply."""
+        s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        try:
+            s.sendall(payload)
+            s.settimeout(30)
+            try:
+                s.recv(4096)
+            except (TimeoutError, ConnectionError, OSError):
+                pass
+        finally:
+            s.close()
+
+    cases = [
+        b"\x00\xff\x17garbage not http\r\n\r\n",
+        b"GET /../../etc/passwd HTTP/1.1\r\nHost: x\r\n\r\n",
+        b"POST /v1/streams/0/frames HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 999999\r\nX-Frames-Shape: 4,64,64,3\r\n\r\nshort",
+        b"POST /v1/images HTTP/1.1\r\nHost: x\r\nContent-Length: -5\r\n\r\n",
+        b"PATCH /v1/health HTTP/1.1\r\nHost: x\r\n\r\n",
+    ]
+    for payload in cases:
+        raw(payload)
+
+    # structured-but-wrong requests through the normal client path
+    bad = [
+        ("POST", "/v1/streams/not-an-int/frames", b"x", {"X-Frames-Shape": "1"}),
+        ("POST", "/v1/streams/0/frames", b"x" * 64,
+         {"X-Frames-Shape": "totally,bogus"}),
+        ("POST", "/v1/streams/0/frames", b"x" * 64,
+         {"X-Frames-Shape": "1,2,3,4,5,6,7,8"}),
+        ("POST", "/v1/reload", b"{not json", {}),
+        ("POST", "/v1/reload", json.dumps({"checkpoint": "/nonexistent"}).encode(), {}),
+        ("GET", "/v1/nope", None, {}),
+        ("DELETE", "/v1/streams/99999", None, {}),
+    ]
+    for method, path, body, headers in bad:
+        try:
+            status, r = _req(server, method, path, body=body, headers=headers)
+        except (json.JSONDecodeError, ConnectionError, http.client.HTTPException):
+            continue  # a non-JSON 4xx page or dropped conn is acceptable
+        assert 400 <= status < 500, (method, path, status, r)
+
+    # random binary fuzz on the frames endpoint with a VALID shape header
+    status, r = _req(server, "POST", "/v1/streams")
+    slot = r["slot"]
+    for _ in range(3):
+        blob = rng.bytes(int(rng.integers(1, 4 * SIZE * SIZE * 3)))
+        status, r = _req(
+            server, "POST", f"/v1/streams/{slot}/frames", body=blob,
+            headers={"X-Frames-Shape": f"{CHUNK},{SIZE},{SIZE},3"},
+        )
+        assert status == 400 and "error" in r  # length mismatch
+
+    # the server is still fully functional
+    frames = rng.integers(0, 255, size=(CHUNK, SIZE, SIZE, 3), dtype=np.uint8)
+    status, r = _post_frames(server, slot, frames)
+    assert status == 200 and len(r["scores"]) == CHUNK
+    _req(server, "DELETE", f"/v1/streams/{slot}")
+    status, health = _req(server, "GET", "/v1/health")
+    assert status == 200 and health["active_slots"] == []
