@@ -33,6 +33,38 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert all(json.loads(line) for line in lines)
 
 
+def test_metrics_logger_tensorboard_tee(tmp_path):
+    """tensorboard=True tees numeric metrics into <run_dir>/tb/ as TB
+    scalars readable by the stock EventAccumulator; strings are skipped."""
+    import pytest
+
+    pytest.importorskip("tensorboard")
+    m = MetricsLogger(tmp_path, tensorboard=True)
+    m.log(1, loss=0.5, separation=np.float32(1.25), note="warmup")
+    m.log(2, loss=0.25)
+    m.tb.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path / "tb"))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert tags == {"loss", "separation"}
+    losses = [(e.step, e.value) for e in acc.Scalars("loss")]
+    assert losses == [(1, 0.5), (2, 0.25)]
+    # JSONL stream is unaffected by the tee
+    assert [r["step"] for r in m.read()] == [1, 2]
+
+
+def test_metrics_logger_no_tb_dir_without_flag(tmp_path):
+    m = MetricsLogger(tmp_path)
+    m.log(1, loss=0.5)
+    assert m.tb is None
+    assert not (tmp_path / "tb").exists()
+
+
 def test_metrics_logger_empty_read(tmp_path):
     assert MetricsLogger(tmp_path / "sub").read() == []
 

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Raise on the first NaN produced on device")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Write a jax.profiler trace of one epoch here")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="Also write epoch metrics as TensorBoard "
+                             "scalars under <run_dir>/tb/ (the reference "
+                             "ships tensorboard but never writes to it)")
     parser.add_argument("--precision", type=str, default="f32",
                         choices=["f32", "bf16"],
                         help="Train-step compute precision: f32 (reference "

@@ -202,7 +202,9 @@ def train(args: Any) -> Dict[str, Any]:
     args_dict = dict(vars(args))
     from vad_tpu.utils.profiling import MetricsLogger
 
-    metrics = MetricsLogger(results_dir)
+    metrics = MetricsLogger(
+        results_dir, tensorboard=getattr(args, "tensorboard", False)
+    )
 
     print(f"\nStarting training for {args.epochs} epochs...")
     print(f"Sequence length: {args.sequence_length} frames")

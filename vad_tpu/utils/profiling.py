@@ -8,7 +8,12 @@ tqdm bars and print()).  This module provides the TPU-native equivalents:
 - `StepTimer`: wall-clock step timing with percentile summary — the
   device-sync caveat is on the caller (time after a real host fetch);
 - `MetricsLogger`: append-only JSONL metrics stream per run dir
-  (machine-readable training history next to the checkpoints);
+  (machine-readable training history next to the checkpoints), with an
+  optional TensorBoard tee (`tensorboard=True`);
+- `TensorBoardWriter`: scalar event-file writer over tensorboard's own
+  EventFileWriter — the reference ships tensorboard in requirements.txt:9
+  but never imports it; here `--tensorboard` makes every epoch metric a
+  live TB scalar without importing torch;
 - `enable_nan_debugging()`: flips jax_debug_nans so the first NaN raises
   with a traceback into the offending op.
 """
@@ -131,12 +136,71 @@ class StepTimer:
         }
 
 
-class MetricsLogger:
-    """Append-only JSONL metrics next to the run's checkpoints."""
+class TensorBoardWriter:
+    """Scalar-only TensorBoard event writer.
 
-    def __init__(self, run_dir: str | Path, filename: str = "metrics.jsonl") -> None:
+    Uses tensorboard's EventFileWriter + summary protos directly rather
+    than torch.utils.tensorboard (no torch import on the training path).
+    If the tensorboard package is absent the writer degrades to a no-op
+    after one warning — training never depends on it.
+    """
+
+    def __init__(self, logdir: str | Path) -> None:
+        self._writer = None
+        self._event_pb2 = None
+        self._summary_pb2 = None
+        try:
+            from tensorboard.compat.proto import event_pb2, summary_pb2
+            from tensorboard.summary.writer.event_file_writer import (
+                EventFileWriter,
+            )
+        except Exception as exc:  # pragma: no cover - env without tensorboard
+            print(f"TensorBoard unavailable ({exc}); scalar logging disabled")
+            return
+        Path(logdir).mkdir(parents=True, exist_ok=True)
+        self._writer = EventFileWriter(str(logdir))
+        self._event_pb2 = event_pb2
+        self._summary_pb2 = summary_pb2
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._writer is None:
+            return
+        summary = self._summary_pb2.Summary(
+            value=[self._summary_pb2.Summary.Value(tag=tag, simple_value=float(value))]
+        )
+        self._writer.add_event(
+            self._event_pb2.Event(wall_time=time.time(), step=int(step), summary=summary)
+        )
+
+    def flush(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics next to the run's checkpoints.
+
+    With ``tensorboard=True`` every numeric metric is also written as a
+    TB scalar under ``<run_dir>/tb/`` (flushed per log call, so a live
+    ``tensorboard --logdir results/`` follows training as it runs).
+    """
+
+    def __init__(
+        self,
+        run_dir: str | Path,
+        filename: str = "metrics.jsonl",
+        tensorboard: bool = False,
+    ) -> None:
         self.path = Path(run_dir) / filename
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.tb: Optional[TensorBoardWriter] = (
+            TensorBoardWriter(Path(run_dir) / "tb") if tensorboard else None
+        )
 
     def log(self, step: int, **metrics) -> None:
         record = {"step": step, "time": time.time()}
@@ -144,6 +208,13 @@ class MetricsLogger:
             record[k] = float(v) if isinstance(v, (int, float, np.floating)) else v
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.tb is not None:
+            for k, v in record.items():
+                if k in ("step", "time"):
+                    continue
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self.tb.scalar(k, v, step)
+            self.tb.flush()
 
     def read(self) -> List[Dict]:
         if not self.path.exists():
