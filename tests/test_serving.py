@@ -136,6 +136,30 @@ def test_bf16_long_stream_no_state_drift(scorer_setup):
     np.testing.assert_allclose(s16, s32, rtol=0.03)
 
 
+def test_chunk_invariance_chunk1_latency_mode(scorer_setup):
+    """chunk=1 stepped N times == chunk=N stepped once, per frame.
+
+    This is the guarantee behind `serve.py --chunk 1` (the low-latency
+    serving mode, tools/measure_latency.py): the carried (h, c) threads
+    the recurrence across chunk boundaries, so the chunk size is purely
+    a batching/latency knob and NEVER changes a frame's score.  The
+    scan body is identical at T=1 and T=N; only the hoisted input
+    conv's batch shape differs (tolerance covers its reduction order).
+    """
+    model, variables = scorer_setup
+    frames = make_frames(42, 8)
+    by_chunk = {}
+    for chunk in (1, 2, 8):
+        s = MultiStreamScorer(model, variables, num_slots=1, chunk=chunk, image_size=64)
+        s.attach(0)
+        scores = []
+        for i in range(0, 8, chunk):
+            scores.extend(s.score_chunk(frames[None, i : i + chunk])[0].tolist())
+        by_chunk[chunk] = np.asarray(scores)
+    np.testing.assert_allclose(by_chunk[1], by_chunk[8], rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(by_chunk[2], by_chunk[8], rtol=2e-5, atol=1e-7)
+
+
 def test_mesh_scores_match_single_device(scorer_setup):
     """Slots sharded over the 8-device 'data' axis produce the SAME scores
     as the unsharded scorer — the mesh only changes placement."""
