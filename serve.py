@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Consecutive anomalous chunks before alerting")
     p.add_argument("--alert-cooldown", type=float, default=60.0,
                    help="Seconds between repeat alerts for the same stream")
+    p.add_argument("--drift-window", type=int, default=4096,
+                   help="Scores kept in the online drift monitor's window "
+                        "(per model kind; summarized at /v1/metrics with a "
+                        "'drifting' verdict against the calibrated ~1%% "
+                        "exceedance contract). 0 disables monitoring")
+    p.add_argument("--drift-factor", type=float, default=5.0,
+                   help="Declare drift when the observed exceedance rate is "
+                        "this many times the calibrated contract")
     return p
 
 
@@ -80,6 +88,7 @@ def main() -> None:
         args.dtype, fused_input=args.fused_input or None,
         data_parallel=args.data_parallel, spatial_parallel=args.spatial,
         image_checkpoint=args.image_checkpoint, slot_ttl=args.slot_ttl,
+        drift_window=args.drift_window, drift_factor=args.drift_factor,
     )
     h = server.service.health()
     if h["model_type"] == "video":

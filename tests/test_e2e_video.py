@@ -61,6 +61,13 @@ def test_video_training_artifacts(trained_video_run):
         # frame scores spread wider than their sequence means, so the p99
         # of frames sits at or above the p99 of sequence means
         assert ckpt["frame_score_threshold"] >= ckpt["score_threshold"] * 0.5
+        # drift-monitor anchor: frame-score distribution summary whose
+        # p99 is, by construction, the frame threshold's quantile family
+        base = ckpt["score_baseline"]
+        assert base["count"] > 0 and base["p50"] <= base["p99"]
+        assert base["p99"] == pytest.approx(
+            ckpt["frame_score_threshold"], rel=0.01
+        )
 
 
 def test_video_evaluate_cli(trained_video_run):

@@ -1,3 +1,4 @@
+from vad_tpu.eval.drift import ScoreWindow, score_baseline  # noqa: F401
 from vad_tpu.eval.metrics import (  # noqa: F401
     aupro,
     auroc,

@@ -85,6 +85,21 @@ class AlertNotifier:
             "timestamp": now,
         })
 
+    def notify(self, payload: dict, source, cooldown: float | None = None) -> bool:
+        """Enqueue an arbitrary alert payload (same async worker, never
+        blocks the caller) under a per-``source`` cooldown — the channel
+        the daemon's drift monitor rides (eval/drift.py: a broken
+        exceedance contract is fleet-level, not a per-stream streak).
+        Returns True iff enqueued (False = suppressed by cooldown)."""
+        cd = self.cooldown if cooldown is None else cooldown
+        now = time.time()
+        with self._lock:
+            if now - self._last_alert.get(source, -1e18) < cd:
+                return False
+            self._last_alert[source] = now
+        self._queue.put({**payload, "timestamp": now})
+        return True
+
     def reset(self, source) -> None:
         """Forget a source's streak/cooldown (stream detached)."""
         with self._lock:

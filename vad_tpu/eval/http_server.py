@@ -49,6 +49,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from vad_tpu.eval.drift import ScoreWindow
+
 
 class ServiceMetrics:
     """Thread-safe serving counters + device-step latency distribution.
@@ -162,6 +164,23 @@ def prometheus_text(snapshots: Dict[str, dict]) -> str:
         )
         lines.append(f'vad_device_step_latency_ms_sum{{model="{kind}"}} {lat["sum_ms"]}')
         lines.append(f'vad_device_step_latency_ms_count{{model="{kind}"}} {lat["count"]}')
+    scored = {k: s["scores"] for k, s in snapshots.items()
+              if s.get("scores", {}).get("count")}
+    if scored:
+        for name, help_, key in (
+            ("vad_score_window_mean", "Mean anomaly score over the recent window.", "mean"),
+            ("vad_score_window_p50", "Median anomaly score over the recent window.", "p50"),
+            ("vad_score_window_p99", "p99 anomaly score over the recent window.", "p99"),
+            ("vad_score_exceed_rate", "Fraction of recent scores above the calibrated threshold (contract: expected_exceed_rate).", "exceed_rate"),
+            ("vad_score_drifting", "1 when the exceedance contract is broken (see eval/drift.py).", "drifting"),
+        ):
+            rows = [(k, sc[key]) for k, sc in scored.items() if key in sc]
+            if not rows:
+                continue
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} gauge")
+            for kind, val in rows:
+                lines.append(f'{name}{{model="{kind}"}} {int(val) if isinstance(val, bool) else val}')
     alerted = {k: s["alerts"] for k, s in snapshots.items() if "alerts" in s}
     if alerted:
         for name, help_, key in (
@@ -197,7 +216,8 @@ class ImageScoringService:
     kind = "image"
 
     def __init__(self, model, variables, image_size: int, batch: int = 32,
-                 dtype=None, mesh=None, spatial: bool = False) -> None:
+                 dtype=None, mesh=None, spatial: bool = False,
+                 drift_window: int = 4096, drift_factor: float = 5.0) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -256,6 +276,12 @@ class ImageScoringService:
         self._variables = variables
         self._lock = threading.Lock()
         self.metrics = ServiceMetrics()
+        # live score-distribution monitor (eval/drift.py); calibrated
+        # from the checkpoint by the caller / reload()
+        self.drift = (
+            ScoreWindow(window=drift_window, factor=drift_factor)
+            if drift_window else None
+        )
         # warm-up compile
         self._score(variables, np.zeros((batch, image_size, image_size, 3), np.uint8))
 
@@ -305,7 +331,15 @@ class ImageScoringService:
                     scores[: part.shape[0]], np.float64
                 )
                 self.metrics.record_step(time.time() - t0)
+        if self.drift is not None:
+            self.drift.observe(out)
         return out
+
+    def metrics_snapshot(self) -> dict:
+        snap = self.metrics.snapshot()
+        if self.drift is not None:
+            snap["scores"] = self.drift.snapshot()
+        return snap
 
     def reload(self, checkpoint: str, ckpt: Optional[dict] = None) -> None:
         """Hot-swap the served weights from a checkpoint on disk
@@ -336,6 +370,11 @@ class ImageScoringService:
             self._variables = new
             self.checkpoint = str(checkpoint)
             self.score_threshold = ckpt.get("score_threshold")
+        if self.drift is not None:
+            # new weights = new score scale; re-anchor the monitor's
+            # contract (the window itself is kept — it ages out quickly)
+            self.drift.recalibrate(self.score_threshold,
+                                   ckpt.get("score_baseline"))
 
     def close(self) -> None:
         pass
@@ -373,7 +412,8 @@ class ScoringService:
     # stream's chunk scores so sustained anomalies fire webhooks
     notifier = None
 
-    def __init__(self, scorer, slot_ttl: Optional[float] = None) -> None:
+    def __init__(self, scorer, slot_ttl: Optional[float] = None,
+                 drift_window: int = 4096, drift_factor: float = 5.0) -> None:
         """``slot_ttl``: seconds of inactivity after which an attached
         slot may be reclaimed when capacity runs out (serve.py
         --slot-ttl).  A client that dies without DELETE would otherwise
@@ -398,6 +438,12 @@ class ScoringService:
         self._wake = threading.Event()
         self._stop = False
         self.metrics = ServiceMetrics()
+        # live frame-score distribution over ALL streams (eval/drift.py);
+        # calibrated from the checkpoint by the caller / reload()
+        self.drift = (
+            ScoreWindow(window=drift_window, factor=drift_factor)
+            if drift_window else None
+        )
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -516,6 +562,8 @@ class ScoringService:
                 for slot, (_, fut) in batch_items.items():
                     if still_active[slot]:
                         slot_scores = np.asarray(scores[slot], np.float64)
+                        if self.drift is not None:
+                            self.drift.observe(slot_scores)
                         if self.notifier is not None:
                             # counter update + queue put only; delivery is
                             # on the notifier's own thread
@@ -529,6 +577,14 @@ class ScoringService:
                         fut.set_exception(
                             RuntimeError(f"slot {slot} detached during scoring")
                         )
+                if (self.notifier is not None and self.drift is not None
+                        and self.drift.drifting()):
+                    # fleet-level distribution drift (not a per-stream
+                    # anomaly): ride the same webhook, its own cooldown
+                    self.notifier.notify(
+                        {"type": "score_drift", **self.drift.snapshot()},
+                        source="__score_drift__",
+                    )
             except Exception as exc:  # pragma: no cover - device failure path
                 for _, fut in batch_items.values():
                     if not fut.done():
@@ -560,9 +616,15 @@ class ScoringService:
             self.scorer.reload_variables(variables)
             self.checkpoint = str(checkpoint)
             self.score_threshold = _serving_frame_threshold(ckpt)
+        if self.drift is not None:
+            # new weights = new score scale; re-anchor the monitor
+            self.drift.recalibrate(self.score_threshold,
+                                   ckpt.get("score_baseline"))
 
     def metrics_snapshot(self) -> dict:
         snap = self.metrics.snapshot()
+        if self.drift is not None:
+            snap["scores"] = self.drift.snapshot()
         if self.notifier is not None:
             snap["alerts"] = {
                 "delivered": self.notifier.delivered,
@@ -959,7 +1021,8 @@ class ScoringServer:
 
 
 def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
-                             data_parallel, spatial_parallel):
+                             data_parallel, spatial_parallel,
+                             drift_window=4096, drift_factor=5.0):
     """Build an ImageScoringService from a loaded image checkpoint."""
     import jax.numpy as jnp
 
@@ -980,9 +1043,13 @@ def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
     service = ImageScoringService(
         imodel, ivars, icfg.image_size, batch=batch, dtype=getattr(jnp, dtype),
         mesh=imesh, spatial=spatial,
+        drift_window=drift_window, drift_factor=drift_factor,
     )
     service.checkpoint = str(checkpoint)
     service.score_threshold = ckpt.get("score_threshold")
+    if service.drift is not None:
+        service.drift.recalibrate(service.score_threshold,
+                                  ckpt.get("score_baseline"))
     return service
 
 
@@ -998,6 +1065,8 @@ def serve_from_checkpoint(
     spatial_parallel: int = 1,
     image_checkpoint: Optional[str] = None,
     slot_ttl: Optional[float] = None,
+    drift_window: int = 4096,
+    drift_factor: float = 5.0,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
 
@@ -1026,7 +1095,13 @@ def serve_from_checkpoint(
     partitioner).
 
     ``slot_ttl``: reclaim video stream slots idle longer than this many
-    seconds when attach() finds no free slot (see ScoringService)."""
+    seconds when attach() finds no free slot (see ScoringService).
+
+    ``drift_window`` / ``drift_factor``: online score-distribution
+    monitoring (eval/drift.py) — the last ``drift_window`` scores per
+    model kind are summarized at GET /v1/metrics, with a ``drifting``
+    verdict when threshold exceedances run ``drift_factor`` x the
+    calibrated ~1% contract.  window 0 disables."""
     import jax.numpy as jnp
 
     from vad_tpu.utils.checkpoint import load_checkpoint
@@ -1043,7 +1118,8 @@ def serve_from_checkpoint(
                 "is given (got two image checkpoints)"
             )
         service = _image_service_from_ckpt(
-            ckpt, checkpoint, num_slots, dtype, data_parallel, spatial_parallel
+            ckpt, checkpoint, num_slots, dtype, data_parallel, spatial_parallel,
+            drift_window=drift_window, drift_factor=drift_factor,
         )
         return ScoringServer(host=host, port=port, service=service)
 
@@ -1085,9 +1161,13 @@ def serve_from_checkpoint(
     # pay the jit compile before accepting traffic
     warm = np.zeros((num_slots, chunk) + scorer.image_hw + (3,), np.uint8)
     scorer.score_chunk(warm)
-    vsvc = ScoringService(scorer, slot_ttl=slot_ttl)
+    vsvc = ScoringService(scorer, slot_ttl=slot_ttl,
+                          drift_window=drift_window, drift_factor=drift_factor)
     vsvc.checkpoint = str(checkpoint)
     vsvc.score_threshold = _serving_frame_threshold(ckpt)
+    if vsvc.drift is not None:
+        vsvc.drift.recalibrate(vsvc.score_threshold,
+                               ckpt.get("score_baseline"))
     services: Dict[str, object] = {"video": vsvc}
     if image_checkpoint:
         ickpt = load_checkpoint(image_checkpoint)
@@ -1095,6 +1175,7 @@ def serve_from_checkpoint(
             raise ValueError("--image-checkpoint must be an image checkpoint")
         services["image"] = _image_service_from_ckpt(
             ickpt, image_checkpoint, num_slots, dtype, data_parallel,
-            spatial_parallel,
+            spatial_parallel, drift_window=drift_window,
+            drift_factor=drift_factor,
         )
     return ScoringServer(host=host, port=port, services=services)

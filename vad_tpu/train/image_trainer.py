@@ -272,6 +272,7 @@ def train(args: Any) -> Dict[str, Any]:
             epoch_seconds=time.time() - t0,
         )
 
+        from vad_tpu.eval.drift import score_baseline
         from vad_tpu.eval.metrics import calibrate_threshold
 
         payload = {
@@ -289,6 +290,10 @@ def train(args: Any) -> Dict[str, Any]:
             # serving daemon and the UI in place of the reference's
             # hardcoded 0.004 (main.py:283)
             "score_threshold": calibrate_threshold(v_scores[v_labels == 0]),
+            # training-time normal-score distribution: the serving
+            # daemon's drift monitor compares live traffic against this
+            # (eval/drift.py)
+            "score_baseline": score_baseline(v_scores[v_labels == 0]),
             "threshold_method": "p99 of validation normal scores",
         }
         if val_loss < best_loss:

@@ -237,6 +237,7 @@ def train(args: Any) -> Dict[str, Any]:
     epoch = start_epoch - 1  # stable if the loop body never runs (resume at end)
     score_threshold = None  # set each epoch from held-out normal scores
     frame_score_threshold = None
+    frame_score_baseline = None
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         if profile_dir and epoch == start_epoch + 1:
@@ -277,6 +278,12 @@ def train(args: Any) -> Dict[str, Any]:
         # frames would flag far more than 1% of normal frames)
         score_threshold = calibrate_threshold(normal_err)
         frame_score_threshold = calibrate_threshold(normal_frame_scores)
+        # training-time frame-score distribution summary: the serving
+        # daemon's drift monitor compares live traffic against this
+        # (eval/drift.py — frame granularity, matching what it serves)
+        from vad_tpu.eval.drift import score_baseline as _score_baseline
+
+        frame_score_baseline = _score_baseline(normal_frame_scores)
 
         new_lr = scheduler.step(separation, current_learning_rate(state))
         if new_lr != current_learning_rate(state):
@@ -348,6 +355,7 @@ def train(args: Any) -> Dict[str, Any]:
                     "model_type": "video",
                     "score_threshold": score_threshold,
                     "frame_score_threshold": frame_score_threshold,
+                    "score_baseline": frame_score_baseline,
                     "threshold_method": "p99 of validation normal scores",
                 },
             )
@@ -366,6 +374,7 @@ def train(args: Any) -> Dict[str, Any]:
                 "model_type": "video",
                 "score_threshold": score_threshold,
                 "frame_score_threshold": frame_score_threshold,
+                "score_baseline": frame_score_baseline,
                 "threshold_method": "p99 of validation normal scores",
             },
         )
@@ -403,6 +412,7 @@ def train(args: Any) -> Dict[str, Any]:
                 "model_type": "video",
                 "score_threshold": score_threshold,
                 "frame_score_threshold": frame_score_threshold,
+                "score_baseline": frame_score_baseline,
                 "threshold_method": "p99 of validation normal scores",
             },
         )
@@ -422,6 +432,7 @@ def train(args: Any) -> Dict[str, Any]:
             "model_type": "video",
             "score_threshold": score_threshold,
             "frame_score_threshold": frame_score_threshold,
+            "score_baseline": frame_score_baseline,
             "threshold_method": "p99 of validation normal scores",
         },
     )
