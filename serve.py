@@ -53,10 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--watch-interval", type=float, default=30.0,
                    help="Seconds between --watch polls")
     p.add_argument("--alert-url", type=str, default=None, metavar="URL",
-                   help="POST a JSON alert here when a video stream stays "
-                        "above the calibrated threshold for --alert-consecutive "
-                        "chunks (needs a checkpoint with a calibrated "
-                        "frame threshold)")
+                   help="POST JSON alerts here: stream_anomaly when a video "
+                        "stream stays above the calibrated threshold for "
+                        "--alert-consecutive chunks (needs a calibrated "
+                        "frame threshold), and score_drift when any served "
+                        "model's drift monitor trips (see --drift-window)")
     p.add_argument("--alert-consecutive", type=int, default=3,
                    help="Consecutive anomalous chunks before alerting")
     p.add_argument("--alert-cooldown", type=float, default=60.0,
@@ -98,23 +99,27 @@ def main() -> None:
     if args.image_checkpoint:
         desc += f" + image model {args.image_checkpoint}"
     print(f"Serving {args.checkpoint} on {args.host}:{server.port} ({desc}, {h['dtype']})")
-    notifier = None
+    notifiers = []
     if args.alert_url:
-        vsvc = server.services.get("video")
-        if vsvc is None:
-            parser.error("--alert-url requires a video model (stream alerts)")
         from vad_tpu.eval.alerts import AlertNotifier
 
-        notifier = AlertNotifier(
-            args.alert_url, consecutive=args.alert_consecutive,
-            cooldown=args.alert_cooldown,
-        )
-        vsvc.notifier = notifier
-        if vsvc.score_threshold is None:
-            print("WARNING: checkpoint has no calibrated frame threshold; "
-                  "alerts will not fire until one is hot-reloaded in")
-        print(f"Alerting to {args.alert_url} after "
-              f"{args.alert_consecutive} consecutive anomalous chunks")
+        # one notifier per service so /v1/metrics delivery counters stay
+        # per-model; video gets stream-streak + drift alerts, the
+        # stateless image service drift alerts only
+        for kind, svc in server.services.items():
+            n = AlertNotifier(
+                args.alert_url, consecutive=args.alert_consecutive,
+                cooldown=args.alert_cooldown,
+            )
+            svc.notifier = n
+            notifiers.append(n)
+            if kind == "video" and svc.score_threshold is None:
+                print("WARNING: video checkpoint has no calibrated frame "
+                      "threshold; stream alerts will not fire until one "
+                      "is hot-reloaded in")
+        print(f"Alerting to {args.alert_url}: stream anomalies after "
+              f"{args.alert_consecutive} consecutive anomalous chunks, "
+              f"plus score_drift events from the drift monitor")
     watcher = None
     if args.watch:
         from vad_tpu.eval.http_server import CheckpointWatcher
@@ -133,8 +138,8 @@ def main() -> None:
     except KeyboardInterrupt:
         if watcher is not None:
             watcher.stop()
-        if notifier is not None:
-            notifier.close()
+        for n in notifiers:
+            n.close()
         server.close()
 
 

@@ -61,6 +61,55 @@ def test_drifting_requires_warm_window_and_factor():
     assert w.snapshot()["drifting"] is True
 
 
+def test_small_window_can_still_reach_verdict():
+    """min_count self-caps at the window size: --drift-window 64 must be
+    able to warm up and fire, not be silently verdict-disabled by the
+    256 default."""
+    w = ScoreWindow(window=64, threshold=1.0, factor=5.0)
+    assert w.min_count == 64
+    w.observe(np.full(64, 2.0))
+    assert w.drifting()
+
+
+def test_predict_objective_baseline_is_gated():
+    """A predict-objective video checkpoint's baseline is on the predict
+    score scale; serving emits reconstruction error — the drift monitor
+    must not anchor to it (same gate as serving_frame_threshold)."""
+    from vad_tpu.eval.metrics import serving_score_baseline
+
+    base = {"p50": 0.5, "p99": 0.7}
+    ckpt = {"model_type": "video", "args": {"objective": "predict"},
+            "score_baseline": base}
+    assert serving_score_baseline(ckpt) is None
+    ckpt["args"]["objective"] = "reconstruct"
+    assert serving_score_baseline(ckpt) == base
+    # image checkpoints have no objective split
+    assert serving_score_baseline(
+        {"model_type": "image", "score_baseline": base}
+    ) == base
+
+
+def test_notify_lazy_payload_skipped_under_cooldown():
+    """A callable payload must not be BUILT when the cooldown swallows
+    the alert — that is what keeps snapshot() off the scoring path
+    during sustained drift."""
+    from vad_tpu.eval.alerts import AlertNotifier
+
+    n = AlertNotifier("http://127.0.0.1:1/unused", cooldown=3600.0)
+    calls = []
+
+    def payload():
+        calls.append(1)
+        return {"type": "score_drift"}
+
+    try:
+        assert n.notify(payload, source="x") is True
+        assert n.notify(payload, source="x") is False  # cooldown closed
+        assert len(calls) == 1
+    finally:
+        n.close()
+
+
 def test_no_threshold_means_no_verdict():
     w = ScoreWindow(window=16)
     w.observe([5.0] * 16)
@@ -233,6 +282,41 @@ def test_image_service_metrics_and_prometheus(tmp_path):
     assert 'vad_score_exceed_rate{model="image"} 1.0' in text
     assert 'vad_score_drifting{model="image"} 1' in text
     assert 'vad_score_window_p99{model="image"}' in text
+
+
+def test_image_service_drift_fires_webhook():
+    """The stateless image service pages on drift too (no stream
+    streaks, but the distribution contract is model-agnostic)."""
+    import jax
+
+    from vad_tpu.eval.http_server import ImageScoringService
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+
+    model = ConvAutoencoder()
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32), train=False
+    )
+    svc = ImageScoringService(model, variables, image_size=64, batch=4,
+                              drift_window=8)
+    svc.drift.recalibrate(1e-12, None)
+
+    sent = []
+
+    class FakeNotifier:
+        delivered = 0
+        failed = 0
+
+        def notify(self, payload, source, cooldown=None):
+            sent.append(payload() if callable(payload) else payload)
+            return True
+
+    svc.notifier = FakeNotifier()
+    frames = np.random.default_rng(0).integers(0, 255, (8, 64, 64, 3), np.uint8)
+    svc.score_images(frames)
+    assert sent and sent[0]["type"] == "score_drift"
+    assert sent[0]["model"] == "image"
+    assert sent[0]["drifting"] is True
+    assert svc.metrics_snapshot()["alerts"] == {"delivered": 0, "failed": 0}
 
 
 def test_drift_window_zero_disables():

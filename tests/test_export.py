@@ -136,6 +136,24 @@ def test_video_submitted_mask_preserves_state(video_model):
         assert not np.array_equal(np.asarray(h0)[0], np.asarray(h1)[0])
 
 
+def test_sidecar_poly_flag_false_for_fixed_multiplatform(image_model, tmp_path):
+    """Fixed-shape multi-platform artifacts must NOT be labeled
+    shape-polymorphic (Exported.uses_global_constants is True for them
+    because of the platform index — the sidecar reads the avals)."""
+    model, variables = image_model
+    exported = export_image_scorer(model, variables, 64, batch=4,
+                                   dtype=jnp.float32,
+                                   platforms=("cpu", "tpu"))
+    assert sorted(exported.platforms) == ["cpu", "tpu"]
+    save_artifact(exported, tmp_path / "mp.stablehlo")
+    sidecar = json.loads((tmp_path / "mp.stablehlo.json").read_text())
+    assert sidecar["uses_shape_polymorphism"] is False
+    # and the multi-platform artifact still runs on this (cpu) host
+    got = np.asarray(load_artifact(tmp_path / "mp.stablehlo").call(
+        np.zeros((4, 64, 64, 3), np.uint8)))
+    assert got.shape == (4,)
+
+
 def test_sidecar_records_calling_convention(image_model, tmp_path):
     model, variables = image_model
     exported = export_image_scorer(model, variables, 64, dtype=jnp.float32)

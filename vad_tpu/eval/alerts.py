@@ -85,18 +85,23 @@ class AlertNotifier:
             "timestamp": now,
         })
 
-    def notify(self, payload: dict, source, cooldown: float | None = None) -> bool:
+    def notify(self, payload, source, cooldown: float | None = None) -> bool:
         """Enqueue an arbitrary alert payload (same async worker, never
         blocks the caller) under a per-``source`` cooldown — the channel
         the daemon's drift monitor rides (eval/drift.py: a broken
         exceedance contract is fleet-level, not a per-stream streak).
-        Returns True iff enqueued (False = suppressed by cooldown)."""
+        ``payload`` may be a dict or a zero-arg callable returning one;
+        a callable is only invoked when the cooldown is open, so callers
+        on a hot path don't build (e.g. quantile-summarize) payloads the
+        cooldown would discard.  Returns True iff enqueued."""
         cd = self.cooldown if cooldown is None else cooldown
         now = time.time()
         with self._lock:
             if now - self._last_alert.get(source, -1e18) < cd:
                 return False
             self._last_alert[source] = now
+        if callable(payload):
+            payload = payload()
         self._queue.put({**payload, "timestamp": now})
         return True
 

@@ -62,7 +62,9 @@ class ScoreWindow:
         self.window = int(window)
         self.expected_exceed = float(expected_exceed)
         self.factor = float(factor)
-        self.min_count = int(min_count)
+        # a window smaller than min_count could otherwise NEVER warm up
+        # (filled <= window), silently disabling the verdict forever
+        self.min_count = min(int(min_count), self.window)
         self._lock = threading.Lock()
         self._buf = np.zeros(self.window, np.float64)
         self._idx = 0          # next write position
@@ -100,8 +102,10 @@ class ScoreWindow:
         if observed >= self.window:
             s = s[-self.window:]
         n = s.size
-        thr = self._threshold
         with self._lock:
+            # threshold read under the same lock recalibrate() swaps it
+            # with, so the count update can't straddle a re-anchoring
+            thr = self._threshold
             self._total += int(observed)
             # entries about to be overwritten leave the exceedance count
             if thr is not None:
@@ -167,6 +171,7 @@ class ScoreWindow:
             "count": int(valid.size),
             "total_observed": int(total),
         }
+        q50 = None
         if valid.size:
             q50, q90, q99 = np.quantile(valid, [0.5, 0.9, 0.99])
             out.update(
@@ -186,7 +191,7 @@ class ScoreWindow:
                     valid.size >= self.min_count
                     and rate >= self.factor * self.expected_exceed
                 )
-        if base and valid.size:
+        if base and q50 is not None:
             # median shift in units of the baseline's p99-p50 spread: a
             # scale-free "how far did typical traffic move" indicator
             # that catches downward drift exceedance cannot see
@@ -194,7 +199,7 @@ class ScoreWindow:
             if spread > 0:
                 out["baseline_p50"] = float(base["p50"])
                 out["p50_shift"] = round(
-                    (float(np.quantile(valid, 0.5)) - float(base["p50"])) / spread, 4
+                    (float(q50) - float(base["p50"])) / spread, 4
                 )
         return out
 

@@ -294,6 +294,10 @@ class ImageScoringService:
     # calibrated anomaly threshold from the checkpoint (p99 of validation
     # normal scores); None = serve raw scores only
     score_threshold: Optional[float] = None
+    # optional AlertNotifier (serve.py --alert-url): image serving is
+    # stateless so there are no per-stream streak alerts, but sustained
+    # score-distribution drift still pages (eval/drift.py)
+    notifier = None
 
     def score_images(self, frames: np.ndarray) -> np.ndarray:
         """Score ``n`` frames; requests larger than the device batch are
@@ -333,12 +337,24 @@ class ImageScoringService:
                 self.metrics.record_step(time.time() - t0)
         if self.drift is not None:
             self.drift.observe(out)
+            if self.notifier is not None and self.drift.drifting():
+                # lazy payload: built only when the cooldown is open
+                self.notifier.notify(
+                    lambda: {"type": "score_drift", "model": "image",
+                             **self.drift.snapshot()},
+                    source="__score_drift_image__",
+                )
         return out
 
     def metrics_snapshot(self) -> dict:
         snap = self.metrics.snapshot()
         if self.drift is not None:
             snap["scores"] = self.drift.snapshot()
+        if self.notifier is not None:
+            snap["alerts"] = {
+                "delivered": self.notifier.delivered,
+                "failed": self.notifier.failed,
+            }
         return snap
 
     def reload(self, checkpoint: str, ckpt: Optional[dict] = None) -> None:
@@ -374,7 +390,7 @@ class ImageScoringService:
             # new weights = new score scale; re-anchor the monitor's
             # contract (the window itself is kept — it ages out quickly)
             self.drift.recalibrate(self.score_threshold,
-                                   ckpt.get("score_baseline"))
+                                   _serving_score_baseline(ckpt))
 
     def close(self) -> None:
         pass
@@ -391,6 +407,14 @@ class ImageScoringService:
             "score_threshold": self.score_threshold,
             "hbm": device_memory_report(),
         }
+
+
+def _serving_score_baseline(ckpt: dict) -> Optional[dict]:
+    """Objective-gated like the frame threshold — see
+    vad_tpu.eval.metrics.serving_score_baseline."""
+    from vad_tpu.eval.metrics import serving_score_baseline
+
+    return serving_score_baseline(ckpt)
 
 
 def _serving_frame_threshold(ckpt: dict) -> Optional[float]:
@@ -580,9 +604,13 @@ class ScoringService:
                 if (self.notifier is not None and self.drift is not None
                         and self.drift.drifting()):
                     # fleet-level distribution drift (not a per-stream
-                    # anomaly): ride the same webhook, its own cooldown
+                    # anomaly): ride the same webhook, its own cooldown.
+                    # Payload is LAZY — the O(window) quantile summary is
+                    # only built when the cooldown lets an alert through,
+                    # never per scoring tick during sustained drift.
                     self.notifier.notify(
-                        {"type": "score_drift", **self.drift.snapshot()},
+                        lambda: {"type": "score_drift", "model": "video",
+                                 **self.drift.snapshot()},
                         source="__score_drift__",
                     )
             except Exception as exc:  # pragma: no cover - device failure path
@@ -619,7 +647,7 @@ class ScoringService:
         if self.drift is not None:
             # new weights = new score scale; re-anchor the monitor
             self.drift.recalibrate(self.score_threshold,
-                                   ckpt.get("score_baseline"))
+                                   _serving_score_baseline(ckpt))
 
     def metrics_snapshot(self) -> dict:
         snap = self.metrics.snapshot()
@@ -1049,7 +1077,7 @@ def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
     service.score_threshold = ckpt.get("score_threshold")
     if service.drift is not None:
         service.drift.recalibrate(service.score_threshold,
-                                  ckpt.get("score_baseline"))
+                                  _serving_score_baseline(ckpt))
     return service
 
 
@@ -1167,7 +1195,7 @@ def serve_from_checkpoint(
     vsvc.score_threshold = _serving_frame_threshold(ckpt)
     if vsvc.drift is not None:
         vsvc.drift.recalibrate(vsvc.score_threshold,
-                               ckpt.get("score_baseline"))
+                               _serving_score_baseline(ckpt))
     services: Dict[str, object] = {"video": vsvc}
     if image_checkpoint:
         ickpt = load_checkpoint(image_checkpoint)

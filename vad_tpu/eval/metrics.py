@@ -202,6 +202,18 @@ def serving_frame_threshold(ckpt: dict) -> float | None:
     return ckpt.get("frame_score_threshold")
 
 
+def serving_score_baseline(ckpt: dict) -> dict | None:
+    """The checkpoint's training-time score distribution, gated exactly
+    like `serving_frame_threshold`: a predict-objective checkpoint's
+    baseline is on the predict-loss scale while serving emits
+    reconstruction error, so anchoring the drift monitor's median-shift
+    to it would report large bogus shifts on healthy traffic."""
+    obj = (ckpt.get("args") or {}).get("objective", "reconstruct") or "reconstruct"
+    if ckpt.get("model_type") != "image" and obj != "reconstruct":
+        return None
+    return ckpt.get("score_baseline")
+
+
 def separation_ratio(normal_scores: Sequence[float], anomaly_scores: Sequence[float]) -> float:
     """mean(anomaly) / mean(normal) — the reference's model-selection and
     monitoring metric (train.py:195, train_video.py:209)."""

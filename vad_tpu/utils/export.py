@@ -167,7 +167,13 @@ def save_artifact(exported, path, meta: Optional[dict] = None) -> Path:
         "in_avals": [str(a) for a in exported.in_avals],
         "out_avals": [str(a) for a in exported.out_avals],
         "calling_convention_version": exported.calling_convention_version,
-        "uses_shape_polymorphism": bool(exported.uses_global_constants),
+        # from the avals, NOT Exported.uses_global_constants — that flag
+        # is also True for fixed-shape multi-platform exports (the
+        # platform index is a global constant), which would mislabel them
+        "uses_shape_polymorphism": any(
+            not isinstance(d, int)
+            for a in exported.in_avals for d in a.shape
+        ),
         "bytes": len(data),
         **(meta or {}),
     }
