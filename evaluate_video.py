@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--slots", type=int, default=None,
                         help="Concurrent stream slots for --video-dir "
                              "(default min(n_videos, 16))")
+    parser.add_argument("--score-mode", type=str, default="mean",
+                        choices=["mean", "max", "p99"],
+                        help="Window score = this statistic over per-frame "
+                             "scores ('mean' is the reference's whole-window "
+                             "mean; 'max'/'p99' key on the worst frames — "
+                             "better for anomalies localized in time)")
+    parser.add_argument("--score-smooth", type=float, default=0.0, metavar="SIGMA",
+                        help="Gaussian-smooth per-frame scores along time "
+                             "(sigma in frames) before aggregation and "
+                             "frame-level metrics")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Score batches data-parallel over all visible "
                              "chips (shard_map over the 'data' mesh axis; "

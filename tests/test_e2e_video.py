@@ -93,6 +93,49 @@ def test_video_evaluate_cli(trained_video_run):
     assert len(vis) >= 2
 
 
+def test_video_evaluate_score_modes(trained_video_run):
+    """--score-mode/--score-smooth (temporal analogue of evaluate.py's
+    image knobs): max/p99 aggregation over (optionally smoothed) frame
+    scores runs end to end and records the mode in results.txt; the
+    default path stays the reference's whole-window mean byte format."""
+    import evaluate_video as ev_cli
+    from vad_tpu.eval.video_eval import evaluate
+
+    base = [
+        "--checkpoint", str(trained_video_run["results_dir"] / "best_model.ckpt"),
+        "--data-dir", str(trained_video_run["data_dir"]),
+        "--batch-size", "2",
+    ]
+    out = trained_video_run["results_dir"] / "evaluation" / "results.txt"
+    score = evaluate(ev_cli.build_parser().parse_args(
+        base + ["--score-mode", "max", "--score-smooth", "1.0"]))
+    assert 0.0 <= score <= 1.0
+    assert "Sequence score mode: max (temporal gaussian sigma=1.0)" in out.read_text()
+    # default run afterwards restores the reference byte format
+    evaluate(ev_cli.build_parser().parse_args(base))
+    assert "Sequence score mode" not in out.read_text()
+
+
+def test_aggregate_sequence_scores_unit():
+    from vad_tpu.eval.video_eval import (
+        aggregate_sequence_scores,
+        smooth_frame_scores,
+    )
+
+    f = np.array([[0.1, 0.1, 0.9, 0.1], [0.2, 0.2, 0.2, 0.2]])
+    np.testing.assert_allclose(
+        aggregate_sequence_scores(f, "mean"), f.mean(axis=1))
+    np.testing.assert_allclose(
+        aggregate_sequence_scores(f, "max"), [0.9, 0.2])
+    # smoothing spreads the spike but keeps total mass ~constant
+    s = smooth_frame_scores(f, sigma=1.0)
+    assert s.shape == f.shape
+    assert s[0].max() < 0.9 and s[0].max() > f[0].mean()
+    np.testing.assert_allclose(s[1], f[1])  # constant row unchanged
+    with pytest.raises(ValueError):
+        aggregate_sequence_scores(f, "median")
+
+
 def test_video_evaluate_cli_data_parallel(trained_video_run):
     """--data-parallel (shard_map over the 8-device mesh, batch padded to
     the data-axis size) reproduces the single-device AUROC exactly."""

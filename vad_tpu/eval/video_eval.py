@@ -30,6 +30,50 @@ from vad_tpu.parallel.sharding import data_parallel_jit, pad_batch_for_devices
 from vad_tpu.utils.checkpoint import load_checkpoint
 
 
+SCORE_MODES = ("mean", "max", "p99")
+
+
+def smooth_frame_scores(frame_scores: np.ndarray, sigma: float) -> np.ndarray:
+    """Gaussian-smooth per-frame scores [B, T] along TIME (sigma in
+    frames; edge-replicated).  The temporal analogue of the image path's
+    spatial smoothing (image_eval.smooth_error_map): averages out
+    single-frame scoring noise so max/p99 aggregation responds to
+    sustained anomalous segments rather than one flickering frame."""
+    size = max(3, int(2 * round(2 * sigma) + 1))
+    x = np.arange(size, dtype=np.float64) - size // 2
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    pad = size // 2
+    fp = np.pad(np.asarray(frame_scores, np.float64), ((0, 0), (pad, pad)),
+                mode="edge")
+    return np.stack([np.convolve(row, k, mode="valid") for row in fp])
+
+
+def aggregate_sequence_scores(
+    frame_scores: np.ndarray, score_mode: str = "mean",
+    score_smooth: float = 0.0,
+) -> np.ndarray:
+    """Per-frame scores [B, T] -> sequence scores [B].
+
+    'mean' is the reference's definition (its video score is the mean
+    error over the whole window, evaluate_video.py:69-306); 'max'/'p99'
+    (beyond-reference, mirroring evaluate.py --score-mode) key on the
+    WORST frames — anomalies localized in time (a brief intrusion in a
+    long window) are diluted by a whole-window mean but stand out to a
+    peak statistic, especially with smoothing suppressing one-frame
+    noise first."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}, got {score_mode!r}")
+    f = np.asarray(frame_scores, np.float64)
+    if score_smooth > 0:
+        f = smooth_frame_scores(f, score_smooth)
+    if score_mode == "max":
+        return f.max(axis=1)
+    if score_mode == "p99":
+        return np.quantile(f, 0.99, axis=1)
+    return f.mean(axis=1)
+
+
 def denormalize_u8(arr: np.ndarray) -> np.ndarray:
     """[-1,1] float -> [0,255] uint8 (reference evaluate_video.py:40-48)."""
     return (np.clip(np.asarray(arr) * 0.5 + 0.5, 0.0, 1.0) * 255).astype(np.uint8)
@@ -117,6 +161,14 @@ def evaluate(args: Any) -> float:
 
     score_step = data_parallel_jit(score_step, mesh)
 
+    score_mode = getattr(args, "score_mode", None) or "mean"
+    score_smooth = float(getattr(args, "score_smooth", 0.0) or 0.0)
+    custom_agg = score_mode != "mean" or score_smooth > 0
+    if custom_agg:
+        print(f"Sequence score: {score_mode} over frame scores"
+              + (f" (temporal gaussian sigma={score_smooth})"
+                 if score_smooth > 0 else ""))
+
     all_scores, all_labels = [], []
     frame_scores, frame_labels = [], []
     has_frame_labels = getattr(test_ds, "has_frame_labels", False)
@@ -124,10 +176,21 @@ def evaluate(args: Any) -> float:
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, batch_size)
         seq, frame = score_step(variables, padded["frames"])
+        if custom_agg:
+            # derive the window score from per-frame scores (reference
+            # parity path keeps the model's own whole-window mean)
+            seq = aggregate_sequence_scores(
+                np.asarray(frame)[:n_real], score_mode, score_smooth
+            )
         all_scores.extend(np.asarray(seq)[:n_real].tolist())
         all_labels.extend(np.asarray(batch["label"]).tolist())
         if has_frame_labels:
-            frame_scores.extend(np.asarray(frame)[:n_real].reshape(-1).tolist())
+            f = np.asarray(frame)[:n_real]
+            if score_smooth > 0:
+                # frame metrics see the same smoothed scores the
+                # aggregation used
+                f = smooth_frame_scores(f, score_smooth)
+            frame_scores.extend(f.reshape(-1).tolist())
             fl = np.asarray(batch["frame_labels"])
             if objective == "predict":
                 fl = fl[:, 1:]  # prediction scores align to frames 1..T-1
@@ -192,6 +255,10 @@ def evaluate(args: Any) -> float:
         f.write("Video Anomaly Detection Evaluation\n")
         f.write("=" * 50 + "\n\n")
         f.write(f"Category: {category}\n")
+        if custom_agg:  # defaults keep the reference's byte format
+            f.write(f"Sequence score mode: {score_mode}"
+                    + (f" (temporal gaussian sigma={score_smooth})"
+                       if score_smooth > 0 else "") + "\n")
         f.write(f"Sequence-level AUROC: {a:.4f}\n")
         if frame_auroc is not None:
             f.write(f"Frame-level AUROC: {frame_auroc:.4f}\n")
