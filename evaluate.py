@@ -28,6 +28,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Score batches data-parallel over all visible "
                              "chips (shard_map over the 'data' mesh axis; "
                              "results are bitwise identical to single-chip)")
+    parser.add_argument("--scorer", type=str, default="recon",
+                        choices=["recon", "latent"],
+                        help="Anomaly map source: 'recon' = per-pixel "
+                             "reconstruction error (reference behavior); "
+                             "'latent' = per-position Mahalanobis distance "
+                             "of encoder features from Gaussians fitted on "
+                             "the normal training split (decoder-free, "
+                             "catches defects the decoder reconstructs too "
+                             "well; stats saved to evaluation/latent_stats.npz)")
+    parser.add_argument("--latent-proj-dim", type=int, default=128,
+                        help="Random-projection dimension for the latent "
+                             "scorer's embeddings (caps the per-position "
+                             "covariance size)")
     return parser
 
 

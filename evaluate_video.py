@@ -49,6 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Score batches data-parallel over all visible "
                              "chips (shard_map over the 'data' mesh axis; "
                              "results are bitwise identical to single-chip)")
+    parser.add_argument("--scorer", type=str, default="recon",
+                        choices=["recon", "latent"],
+                        help="Frame score source: 'recon' = reconstruction "
+                             "error (reference behavior); 'latent' = "
+                             "Mahalanobis distance of per-frame encoder "
+                             "features from Gaussians fitted on the normal "
+                             "training split (decoder-free, catches "
+                             "appearance anomalies the decoder reconstructs "
+                             "too well; dataset mode only)")
+    parser.add_argument("--latent-proj-dim", type=int, default=128,
+                        help="Random-projection dimension for the latent "
+                             "scorer's embeddings")
     return parser
 
 

@@ -1,4 +1,12 @@
 from vad_tpu.eval.drift import ScoreWindow, score_baseline  # noqa: F401
+from vad_tpu.eval.latent_score import (  # noqa: F401
+    LatentStats,
+    fit_latent_stats,
+    load_stats,
+    make_distance_step,
+    save_stats,
+    upsample_maps,
+)
 from vad_tpu.eval.metrics import (  # noqa: F401
     aupro,
     auroc,

@@ -73,6 +73,7 @@ def smooth_error_map(err: jnp.ndarray, sigma: float) -> jnp.ndarray:
 def compute_scores(
     model, variables, test_ds, batch_size: int = 16, num_workers: int = 4,
     score_mode: str = "mean", score_smooth: float = 0.0, mesh=None,
+    maps_fn=None,
 ):
     """(labels, scores, defect_types) over the test split.
 
@@ -83,6 +84,9 @@ def compute_scores(
     Gaussian-blurs the map (sigma in pixels) before the reduction.
     ``mesh``: shard each batch over the 'data' axis
     (parallel.sharding.data_parallel_jit).
+    ``maps_fn(variables, x) -> [B, H, W]`` replaces the reconstruction
+    error map as the anomaly map (the latent-distance scorer path,
+    eval/latent_score.py); must be traceable — it is jitted here.
     """
     if mesh is not None:
         from vad_tpu.parallel.sharding import padded_batch_size
@@ -91,9 +95,12 @@ def compute_scores(
     loader = Loader(test_ds, batch_size, num_workers=num_workers)
 
     def score_step(v, x):
-        err = model.apply(
-            v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
-        )
+        if maps_fn is not None:
+            err = maps_fn(v, x)
+        else:
+            err = model.apply(
+                v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
+            )
         if score_smooth > 0:
             err = smooth_error_map(err, score_smooth)
         flat = err.reshape(err.shape[0], -1)
@@ -116,7 +123,7 @@ def compute_scores(
 
 def compute_localization(
     model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0,
-    mesh=None,
+    mesh=None, maps_fn=None,
 ) -> Dict[str, float]:
     """Localization metrics against the ground-truth masks, one device pass.
 
@@ -142,9 +149,12 @@ def compute_localization(
     loader = Loader(test_ds, batch_size, num_workers=4)
 
     def maps_step(v, x):
-        err = model.apply(
-            v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
-        )
+        if maps_fn is not None:
+            err = maps_fn(v, x)
+        else:
+            err = model.apply(
+                v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
+            )
         if score_smooth > 0:
             err = smooth_error_map(err, score_smooth)
         return err
@@ -166,9 +176,12 @@ def compute_localization(
     return {"pixel_auroc": pixel, "aupro": _aupro(masks, maps)}
 
 
-def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
+def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8,
+                             maps_fn=None):
     """Half normal / half anomalous samples with recon + error map + mask
-    (reference evaluate.py:113-131 selection policy)."""
+    (reference evaluate.py:113-131 selection policy).  With ``maps_fn``
+    the error panel shows that anomaly map (e.g. latent distance) while
+    the recon panel stays the decoder output."""
     labels = test_ds.labels
     normal_idx = [i for i, l in enumerate(labels) if l == 0][: n_samples // 2]
     anomaly_idx = [i for i, l in enumerate(labels) if l == 1][: n_samples // 2]
@@ -179,9 +192,12 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
     @jax.jit
     def recon_and_error(v, x):
         recon = model.apply(v, x, train=False)
-        err = model.apply(
-            v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
-        )
+        if maps_fn is not None:
+            err = maps_fn(v, x)
+        else:
+            err = model.apply(
+                v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
+            )
         return recon, err
 
     rows = []
@@ -201,12 +217,55 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8):
     return rows
 
 
+def make_latent_maps_fn(
+    model, variables, train_ds, *, batch_size: int = 16, layers=(0, 1, 2),
+    proj_dim: int = 128, seed: int = 0, save_path=None,
+):
+    """Fit the latent-distance scorer on the normal training split and
+    return (maps_fn, stats): ``maps_fn(v, x) -> [B, H, W]`` Mahalanobis
+    maps upsampled to image resolution (eval/latent_score.py).
+
+    One streaming encoder pass over ``train_ds``; ``save_path`` (npz)
+    persists the fitted statistics next to the evaluation artifacts so
+    the fit is reproducible/inspectable.
+    """
+    from vad_tpu.eval.latent_score import (
+        fit_latent_stats,
+        make_distance_step,
+        save_stats,
+        upsample_maps,
+    )
+
+    def pyramid_fn(v, x):
+        return model.apply(v, x, method=ConvAutoencoder.feature_pyramid)
+
+    loader = Loader(train_ds, batch_size, num_workers=4)
+    stats = fit_latent_stats(
+        pyramid_fn,
+        variables,
+        (b["image"] for b in loader),
+        layers=layers,
+        proj_dim=proj_dim,
+        seed=seed,
+    )
+    if save_path is not None:
+        save_stats(save_path, stats)
+    dstep = make_distance_step(pyramid_fn, stats)
+
+    def maps_fn(v, x):
+        return upsample_maps(dstep(v, x), x.shape[1])
+
+    return maps_fn, stats
+
+
 def write_results_txt(
     path: Path, score: float, breakdown: Dict[str, Dict],
     pixel_score: float = float("nan"), aupro_score: float = float("nan"),
+    scorer: str = "recon",
 ) -> None:
     """reference evaluate.py:273-278 format (leading lines byte-compatible;
-    localization metrics appended as extra trailing lines when available)."""
+    localization metrics and a non-default scorer appended as extra
+    trailing lines when applicable)."""
     with open(path, "w") as f:
         f.write(f"AUROC: {score:.4f}\n\n")
         f.write("Per-defect breakdown:\n")
@@ -220,6 +279,8 @@ def write_results_txt(
             f.write(f"\nPixel-level AUROC: {pixel_score:.4f}\n")
         if np.isfinite(aupro_score):
             f.write(f"AUPRO (FPR<=0.3): {aupro_score:.4f}\n")
+        if scorer != "recon":
+            f.write(f"\nScorer: {scorer}\n")
 
 
 def evaluate(args: Any) -> float:
@@ -255,10 +316,32 @@ def evaluate(args: Any) -> float:
             f"Score mode: {score_mode} of the per-pixel error map"
             + (f" (gaussian sigma={score_smooth})" if score_smooth > 0 else "")
         )
+
+    maps_fn = None
+    scorer = getattr(args, "scorer", "recon") or "recon"
+    if scorer == "latent":
+        train_ds = MVTecDataset(data_dir, category, "train", image_size)
+        print(
+            f"Latent-distance scorer: fitting per-position Gaussians on "
+            f"{len(train_ds)} normal training images..."
+        )
+        maps_fn, stats = make_latent_maps_fn(
+            model,
+            variables,
+            train_ds,
+            proj_dim=int(getattr(args, "latent_proj_dim", 128) or 128),
+            seed=int(getattr(args, "seed", 0) or 0),
+            save_path=output_dir / "latent_stats.npz",
+        )
+        print(
+            f"  grid {stats.grid}x{stats.grid}, embedding dim {stats.dim}, "
+            f"fit on {stats.n_fit} images (stats -> evaluation/latent_stats.npz)"
+        )
+
     print("\nComputing metrics...")
     labels, scores, defects = compute_scores(
         model, variables, test_ds, score_mode=score_mode, score_smooth=score_smooth,
-        mesh=mesh,
+        mesh=mesh, maps_fn=maps_fn,
     )
     if len(np.unique(labels)) > 1:
         score = auroc(labels, scores)
@@ -268,7 +351,8 @@ def evaluate(args: Any) -> float:
         print("Cannot compute AUROC - only one class present")
     breakdown = per_defect_breakdown(labels, scores, defects)
     loc = compute_localization(
-        model, variables, test_ds, score_smooth=score_smooth, mesh=mesh
+        model, variables, test_ds, score_smooth=score_smooth, mesh=mesh,
+        maps_fn=maps_fn,
     )
     pixel_score = loc["pixel_auroc"]
 
@@ -292,10 +376,11 @@ def evaluate(args: Any) -> float:
     if len(np.unique(labels)) > 1:
         plot_roc_curve(labels, scores, output_dir / "roc_curve.png")
     plot_score_distribution(labels, scores, output_dir / "score_distribution.png")
-    rows = make_reconstruction_rows(model, variables, test_ds)
+    rows = make_reconstruction_rows(model, variables, test_ds, maps_fn=maps_fn)
     plot_reconstruction_grid(rows, output_dir / "reconstructions.png")
     write_results_txt(
-        output_dir / "results.txt", score, breakdown, pixel_score, loc["aupro"]
+        output_dir / "results.txt", score, breakdown, pixel_score, loc["aupro"],
+        scorer=scorer,
     )
 
     print(f"\nResults saved to: {output_dir}")

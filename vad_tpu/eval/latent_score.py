@@ -1,0 +1,267 @@
+"""Latent-distance anomaly scoring: per-position Gaussians over encoder features.
+
+A second detector family on the SAME trained autoencoder backbone
+(beyond-reference — the reference scores only by reconstruction error,
+evaluate.py:60-74 / evaluate_video.py:150-170).  Instead of asking "how
+badly does the decoder reproduce this input?", it asks "how far do the
+encoder's intermediate features sit from the distribution of features
+seen on normal data?" — the PaDiM recipe (Defard et al. 2020, public):
+
+1. Run the frozen encoder over normal (training-split) images and
+   collect its multi-scale block outputs, resampled onto one G x G grid
+   and concatenated channel-wise (optionally projected to D dims with a
+   fixed seeded random matrix — a distance-preserving dimensionality
+   reduction that keeps the covariance tractable).
+2. Fit a Gaussian PER GRID POSITION: mean [P, D] and a shrinkage-
+   regularized covariance [P, D, D], P = G*G.
+3. Score a test image by the per-position Mahalanobis distance of its
+   embedding — an anomaly map that needs no decoder at all.
+
+Reconstruction error goes blind exactly where the decoder generalizes
+too well (it happily reconstructs a defect it never saw); the feature
+distribution still moves there.  This is the standard texture-anomaly
+fix, which is why `--scorer latent` exists next to the parity `recon`.
+
+TPU mapping: fitting is a streaming sum / outer-product accumulation
+(einsum on the MXU, O(D^2) state per position, single pass, batch count
+is static-shape-free); scoring is two batched contractions
+``e @ precision @ e`` — all jitted, accumulation state donated, only
+[B, G, G] maps leave the device.  The Cholesky/inverse runs once at fit
+time on [P, D, D].
+
+Everything here is shape-polymorphic over the backbone: it consumes any
+coarse-to-fine feature pyramid (`ConvAutoencoder.feature_pyramid`,
+`VideoAutoencoder.feature_pyramid`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PyramidFn = Callable[..., Tuple[jnp.ndarray, ...]]
+
+DEFAULT_LAYERS = (0, 1, 2)  # skip the most abstract block by default
+DEFAULT_PROJ_DIM = 128
+DEFAULT_SHRINK = 0.01
+
+
+@dataclasses.dataclass
+class LatentStats:
+    """Fitted per-position Gaussian statistics (device arrays f32)."""
+
+    mean: jnp.ndarray  # [P, D]
+    precision: jnp.ndarray  # [P, D, D] inverse covariance
+    proj: Optional[jnp.ndarray]  # [C, D] fixed random projection (or None)
+    grid: int  # G (maps are [B, G, G])
+    layers: Tuple[int, ...]
+    n_fit: int  # samples the fit saw
+
+    @property
+    def dim(self) -> int:
+        return int(self.mean.shape[-1])
+
+
+def _resample(f: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """[N, h, w, c] -> [N, grid, grid, c].
+
+    Finer layers average-pool down (exact when h % grid == 0 — block
+    outputs are power-of-two sized so the common case is exact); coarser
+    layers nearest-repeat up.  Falls back to jax.image.resize for
+    non-integer ratios (odd input sizes)."""
+    h = f.shape[1]
+    if h == grid:
+        return f
+    if h > grid and h % grid == 0:
+        k = h // grid
+        return jax.lax.reduce_window(
+            f, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+        ) / float(k * k)
+    if h < grid and grid % h == 0:
+        k = grid // h
+        return jnp.repeat(jnp.repeat(f, k, axis=1), k, axis=2)
+    return jax.image.resize(f, (f.shape[0], grid, grid, f.shape[3]), "linear")
+
+
+def pyramid_embed(
+    feats: Sequence[jnp.ndarray],
+    layers: Sequence[int],
+    grid: int,
+    proj: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Selected pyramid levels -> per-position embeddings [N, P, D]."""
+    parts = [_resample(feats[i].astype(jnp.float32), grid) for i in layers]
+    e = jnp.concatenate(parts, axis=-1)  # [N, G, G, C]
+    n = e.shape[0]
+    e = e.reshape(n, grid * grid, e.shape[-1])  # [N, P, C]
+    if proj is not None:
+        e = jnp.einsum("npc,cd->npd", e, proj)
+    return e
+
+
+def default_grid(feats: Sequence[jnp.ndarray], layers: Sequence[int]) -> int:
+    """Middle selected layer's spatial size — fine enough to localize,
+    coarse enough that [P, D, D] covariances stay small."""
+    sizes = sorted(int(feats[i].shape[1]) for i in layers)
+    return sizes[len(sizes) // 2]
+
+
+def make_projection(
+    n_channels: int, proj_dim: Optional[int], seed: int
+) -> Optional[jnp.ndarray]:
+    """Fixed Gaussian random projection [C, D] (seeded, so refitting with
+    the same seed is deterministic); None when no reduction is needed."""
+    if proj_dim is None or proj_dim >= n_channels:
+        return None
+    key = jax.random.key(seed)
+    w = jax.random.normal(key, (n_channels, proj_dim), jnp.float32)
+    return w / jnp.sqrt(jnp.float32(proj_dim))
+
+
+def fit_latent_stats(
+    pyramid_fn: PyramidFn,
+    variables,
+    batches: Iterable[np.ndarray],
+    *,
+    layers: Sequence[int] = DEFAULT_LAYERS,
+    grid: Optional[int] = None,
+    proj_dim: Optional[int] = DEFAULT_PROJ_DIM,
+    shrink: float = DEFAULT_SHRINK,
+    seed: int = 0,
+) -> LatentStats:
+    """Single streaming pass over normal images -> LatentStats.
+
+    ``pyramid_fn(variables, x)`` maps an image batch [N, H, W, C] to the
+    encoder's feature pyramid.  ``batches`` yields numpy image batches
+    (any sizes).  Accumulation state (count, sum, sum of outer products)
+    lives on device and is donated across updates; the Cholesky-based
+    inversion runs once at the end.
+    """
+    layers = tuple(int(i) for i in layers)
+    first = None
+    it = iter(batches)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise ValueError("fit_latent_stats needs at least one batch")
+
+    feat_shapes = jax.eval_shape(pyramid_fn, variables, jnp.asarray(first))
+    if max(layers) >= len(feat_shapes):
+        raise ValueError(
+            f"layers {layers} out of range for a {len(feat_shapes)}-level pyramid"
+        )
+    g = int(grid) if grid else default_grid(feat_shapes, layers)
+    n_channels = sum(int(feat_shapes[i].shape[-1]) for i in layers)
+    proj = make_projection(n_channels, proj_dim, seed)
+    d = int(proj.shape[1]) if proj is not None else n_channels
+    p = g * g
+
+    @jax.jit
+    def embed(v, x):
+        return pyramid_embed(pyramid_fn(v, x), layers, g, proj)
+
+    # Anchor-centered single-pass accumulation: on TPU, f32 einsums run
+    # at bf16-grade matmul precision by default, so the textbook
+    # E[ee^T] - mu mu^T cancels catastrophically for O(1)-mean features
+    # (measured: NaN precisions on v5e, finite on CPU).  Subtracting a
+    # first-batch anchor keeps the accumulated moments near zero mean,
+    # and precision='highest' runs the true-f32 passes.
+    @jax.jit
+    def update(acc, e, anchor):
+        count, s1, s2 = acc
+        e = e - anchor
+        return (
+            count + e.shape[0],
+            s1 + jnp.sum(e, axis=0),
+            s2 + jnp.einsum("npd,npe->pde", e, e, precision="highest"),
+        )
+
+    acc = (
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((p, d), jnp.float32),
+        jnp.zeros((p, d, d), jnp.float32),
+    )
+    n_fit = 0
+    anchor = None
+    batch = first
+    while batch is not None:
+        x = jnp.asarray(batch)
+        n_fit += int(x.shape[0])
+        e = embed(variables, x)
+        if anchor is None:
+            anchor = jnp.mean(e, axis=0)  # [P, D]
+        acc = update(acc, e, anchor)
+        batch = next(it, None)
+
+    @jax.jit
+    def finalize(acc, anchor):
+        count, s1, s2 = acc
+        delta = s1 / count  # residual mean after anchoring (near zero)
+        mean = anchor + delta
+        cov = s2 / count - jnp.einsum("pd,pe->pde", delta, delta)
+        # unbiased + shrinkage toward a scaled identity: keeps every
+        # position invertible even when n_fit < D
+        cov = cov * (count / jnp.maximum(count - 1.0, 1.0))
+        diag_mean = jnp.trace(cov, axis1=-2, axis2=-1) / d  # [P]
+        eye = jnp.eye(d, dtype=jnp.float32)
+        cov = cov + (shrink * diag_mean + 1e-6)[:, None, None] * eye
+        chol = jax.scipy.linalg.cho_factor(cov, lower=True)[0]
+        precision = jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.broadcast_to(eye, cov.shape)
+        )
+        return mean, precision
+
+    mean, precision = finalize(acc, anchor)
+    return LatentStats(
+        mean=mean, precision=precision, proj=proj, grid=g, layers=layers, n_fit=n_fit
+    )
+
+
+def make_distance_step(pyramid_fn: PyramidFn, stats: LatentStats):
+    """Jittable ``step(variables, x) -> [N, G, G]`` Mahalanobis maps.
+
+    The heavy lifting is two batched contractions on the MXU; sqrt at
+    the end so scores scale like a z-score rather than its square."""
+    layers, g = stats.layers, stats.grid
+
+    def step(v, x, mean=stats.mean, precision=stats.precision, proj=stats.proj):
+        e = pyramid_embed(pyramid_fn(v, x), layers, g, proj) - mean  # [N, P, D]
+        d2 = jnp.einsum("npd,pde,npe->np", e, precision, e, precision="highest")
+        return jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(x.shape[0], g, g)
+
+    return step
+
+
+def upsample_maps(maps: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[N, G, G] -> [N, size, size] bilinear, for pixel-level metrics."""
+    return jax.image.resize(maps, (maps.shape[0], size, size), "linear")
+
+
+def save_stats(path, stats: LatentStats) -> None:
+    """Persist fitted stats (npz) so serving / repeat evals skip the fit."""
+    np.savez_compressed(
+        path,
+        mean=np.asarray(stats.mean),
+        precision=np.asarray(stats.precision),
+        proj=(np.asarray(stats.proj) if stats.proj is not None else np.zeros(0)),
+        grid=stats.grid,
+        layers=np.asarray(stats.layers),
+        n_fit=stats.n_fit,
+    )
+
+
+def load_stats(path) -> LatentStats:
+    z = np.load(path)
+    proj = z["proj"]
+    return LatentStats(
+        mean=jnp.asarray(z["mean"]),
+        precision=jnp.asarray(z["precision"]),
+        proj=(jnp.asarray(proj) if proj.size else None),
+        grid=int(z["grid"]),
+        layers=tuple(int(i) for i in z["layers"]),
+        n_fit=int(z["n_fit"]),
+    )

@@ -146,18 +146,74 @@ def evaluate(args: Any) -> float:
     loader = Loader(test_ds, batch_size, num_workers=2)
 
     objective = saved.get("objective", "reconstruct") or "reconstruct"
-    score_method = (
-        VideoAutoencoder.prediction_error
-        if objective == "predict"
-        else VideoAutoencoder.reconstruction_error
-    )
-    if objective == "predict":
-        print("Scoring objective: future-frame prediction error")
+    scorer = getattr(args, "scorer", "recon") or "recon"
+    if scorer == "latent":
+        # Latent-distance scoring (eval/latent_score.py): fit per-position
+        # Gaussians on the normal training split's frames, score test
+        # windows by per-frame Mahalanobis maps.  Purely spatial (the
+        # ConvLSTM plays no role), so it also ignores --objective.
+        from vad_tpu.eval.latent_score import (
+            fit_latent_stats,
+            make_distance_step,
+            save_stats,
+        )
 
-    def score_step(v, x):
-        seq = model.apply(v, x, method=score_method)
-        frame = model.apply(v, x, per_frame=True, method=score_method)
-        return seq, frame
+        train_ds = DatasetClass(
+            args.data_dir,
+            category,
+            "train",
+            sequence_length=sequence_length,
+            stride=sequence_length,
+            image_size=image_size,
+        )
+        print(
+            f"Latent-distance scorer: fitting per-position Gaussians on "
+            f"{len(train_ds)} normal training windows..."
+        )
+
+        def pyramid_fn(v, frames):
+            return model.apply(v, frames, method=VideoAutoencoder.feature_pyramid)
+
+        def _frame_batches():
+            for b in Loader(train_ds, batch_size, num_workers=2):
+                fr = b["frames"]
+                yield fr.reshape(-1, *fr.shape[2:])  # [B*T, H, W, C]
+
+        stats = fit_latent_stats(
+            pyramid_fn,
+            variables,
+            _frame_batches(),
+            proj_dim=int(getattr(args, "latent_proj_dim", 128) or 128),
+            seed=0,
+        )
+        eval_dir_early = Path(args.checkpoint).parent / "evaluation"
+        eval_dir_early.mkdir(exist_ok=True)
+        save_stats(eval_dir_early / "latent_stats.npz", stats)
+        print(
+            f"  grid {stats.grid}x{stats.grid}, embedding dim {stats.dim}, "
+            f"fit on {stats.n_fit} frames (stats -> evaluation/latent_stats.npz)"
+        )
+        dstep = make_distance_step(pyramid_fn, stats)
+
+        def score_step(v, x):
+            flat = x.reshape(-1, *x.shape[2:])
+            maps = dstep(v, flat)
+            frame = jnp.mean(maps, axis=(1, 2)).reshape(x.shape[0], x.shape[1])
+            return jnp.mean(frame, axis=1), frame
+
+    else:
+        score_method = (
+            VideoAutoencoder.prediction_error
+            if objective == "predict"
+            else VideoAutoencoder.reconstruction_error
+        )
+        if objective == "predict":
+            print("Scoring objective: future-frame prediction error")
+
+        def score_step(v, x):
+            seq = model.apply(v, x, method=score_method)
+            frame = model.apply(v, x, per_frame=True, method=score_method)
+            return seq, frame
 
     score_step = data_parallel_jit(score_step, mesh)
 
@@ -192,7 +248,7 @@ def evaluate(args: Any) -> float:
                 f = smooth_frame_scores(f, score_smooth)
             frame_scores.extend(f.reshape(-1).tolist())
             fl = np.asarray(batch["frame_labels"])
-            if objective == "predict":
+            if objective == "predict" and scorer != "latent":
                 fl = fl[:, 1:]  # prediction scores align to frames 1..T-1
             frame_labels.extend(fl.reshape(-1).tolist())
 
@@ -255,7 +311,9 @@ def evaluate(args: Any) -> float:
         f.write("Video Anomaly Detection Evaluation\n")
         f.write("=" * 50 + "\n\n")
         f.write(f"Category: {category}\n")
-        if custom_agg:  # defaults keep the reference's byte format
+        if scorer != "recon":  # defaults keep the reference's byte format
+            f.write(f"Scorer: {scorer}\n")
+        if custom_agg:
             f.write(f"Sequence score mode: {score_mode}"
                     + (f" (temporal gaussian sigma={score_smooth})"
                        if score_smooth > 0 else "") + "\n")

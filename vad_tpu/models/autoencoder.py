@@ -73,9 +73,19 @@ class Encoder(nn.Module):
         return (32, 64, 128, self.latent_dim)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, *, return_pyramid: bool = False
+    ):
+        """``return_pyramid``: also return every block's pooled output
+        (the multi-scale feature maps the latent-distance scorer fits its
+        per-position Gaussians on — eval/latent_score.py).  Purely an
+        extra output; parameters and the default path are unchanged."""
+        pyramid = []
         for w in self.widths:
             x = EncoderBlock(w, self.norm)(x, train)
+            pyramid.append(x)
+        if return_pyramid:
+            return x, tuple(pyramid)
         return x
 
 
@@ -147,6 +157,13 @@ class ConvAutoencoder(nn.Module):
     def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Latent representation without decoding."""
         return self.encoder(x, train)
+
+    def feature_pyramid(self, x: jnp.ndarray):
+        """Per-block encoder feature maps (inference mode), coarse-to-fine
+        tuple of [B, H/2^k, W/2^k, C_k] — input to the latent-distance
+        scorer (eval/latent_score.py)."""
+        _, pyramid = self.encoder(x, train=False, return_pyramid=True)
+        return pyramid
 
     def error_map(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-pixel anomaly map [B, H, W]: channel-mean squared error."""

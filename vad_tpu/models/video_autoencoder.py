@@ -240,12 +240,22 @@ class VideoEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, *, skip_first_block: bool = False
-    ) -> jnp.ndarray:
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        *,
+        skip_first_block: bool = False,
+        return_pyramid: bool = False,
+    ):
         """``skip_first_block``: ``x`` is already the first block's pooled
         32-channel output (produced by the fused Pallas input kernel,
         ops/encoder_pallas.py) — run blocks 2-4 only.  Module names are
-        pinned explicitly so both entry points address the same params."""
+        pinned explicitly so both entry points address the same params.
+
+        ``return_pyramid``: also return every block's pooled output (the
+        multi-scale per-frame feature maps the latent-distance scorer
+        fits on — eval/latent_score.py); parameters unchanged."""
+        pyramid = []
         seq_shape = None
         if x.ndim == 5:
             b, t = x.shape[:2]
@@ -267,8 +277,12 @@ class VideoEncoder(nn.Module):
             # models/autoencoder.py EncoderBlock and tools/profile_train.py
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = nn.leaky_relu(x, negative_slope=0.2)
+            pyramid.append(x)
         if seq_shape is not None:
             x = x.reshape(*seq_shape, *x.shape[1:])
+            pyramid = [f.reshape(*seq_shape, *f.shape[1:]) for f in pyramid]
+        if return_pyramid:
+            return x, tuple(pyramid)
         return x
 
 
@@ -338,6 +352,16 @@ class VideoAutoencoder(nn.Module):
         if self.lstm_hidden_dim != self.latent_dim:
             z = self.proj(z)  # 1x1 conv; flax Conv handles the [B, T] batch dims
         return self.decoder(z, train)
+
+    def feature_pyramid(self, x: jnp.ndarray):
+        """Per-block encoder feature maps (inference mode).
+
+        Accepts frames [N, H, W, C] or windows [B, T, H, W, C]; returns a
+        coarse-to-fine tuple of per-frame maps with the matching leading
+        dims.  Input to the latent-distance scorer (eval/latent_score.py)
+        — purely spatial, the ConvLSTM plays no role in that scorer."""
+        _, pyramid = self.encoder(x, False, return_pyramid=True)
+        return pyramid
 
     def stream_step(self, x: jnp.ndarray, states):
         """Streaming chunk inference carrying ConvLSTM state across calls.
