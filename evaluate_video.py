@@ -61,11 +61,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--latent-proj-dim", type=int, default=128,
                         help="Random-projection dimension for the latent "
                              "scorer's embeddings")
+    parser.add_argument("--latent-stats", type=str, default=None,
+                        help="Reuse a previously fitted latent_stats.npz "
+                             "instead of refitting on the training split")
     return parser
 
 
 if __name__ == "__main__":
+    import sys
+
     args = build_parser().parse_args()
+    if args.scorer == "latent" and (args.video or args.video_dir):
+        # fail loudly rather than silently scoring by reconstruction error
+        sys.exit(
+            "error: --scorer latent supports dataset evaluation only "
+            "(streaming --video/--video-dir modes score by reconstruction "
+            "error; drop --scorer or run without --video/--video-dir)"
+        )
     print("=" * 60)
     print("VIDEO ANOMALY DETECTION EVALUATION")
     print("=" * 60)

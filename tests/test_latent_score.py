@@ -213,6 +213,17 @@ def test_evaluate_cli_latent(latent_image_run):
     stats = ls.load_stats(out / "latent_stats.npz")
     assert stats.dim == 48
 
+    # --latent-stats reuses the persisted fit (identical AUROC, no refit)
+    score2 = evaluate(
+        eval_cli.build_parser().parse_args(
+            [
+                "--checkpoint", ckpt, "--scorer", "latent",
+                "--latent-stats", str(out / "latent_stats.npz"),
+            ]
+        )
+    )
+    assert score2 == score
+
 
 def test_evaluate_video_cli_latent(tmp_path):
     """`evaluate_video.py --scorer latent` end to end on the video fixture."""
@@ -249,3 +260,23 @@ def test_evaluate_video_cli_latent(tmp_path):
     eval_dir = out["results_dir"] / "evaluation"
     assert (eval_dir / "latent_stats.npz").exists()
     assert "Scorer: latent" in (eval_dir / "results.txt").read_text()
+    # visualizations came from the latent maps path (review finding:
+    # artifacts must match the metrics in results.txt)
+    assert list(eval_dir.glob("visualization_*.png"))
+
+
+def test_latent_rejects_streaming_modes(tmp_path):
+    """--scorer latent + --video fails loudly instead of silently scoring
+    by reconstruction error (CLI-level guard)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable, "evaluate_video.py", "--checkpoint", "x",
+            "--video", "clip.mp4", "--scorer", "latent",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "dataset evaluation only" in proc.stderr

@@ -219,20 +219,19 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8,
 
 def make_latent_maps_fn(
     model, variables, train_ds, *, batch_size: int = 16, layers=(0, 1, 2),
-    proj_dim: int = 128, seed: int = 0, save_path=None,
+    proj_dim: int = 128, seed: int = 0, save_path=None, load_path=None,
 ):
-    """Fit the latent-distance scorer on the normal training split and
-    return (maps_fn, stats): ``maps_fn(v, x) -> [B, H, W]`` Mahalanobis
-    maps upsampled to image resolution (eval/latent_score.py).
+    """Fit (or load) the latent-distance scorer and return
+    (maps_fn, stats): ``maps_fn(v, x) -> [B, H, W]`` Mahalanobis maps
+    upsampled to image resolution (eval/latent_score.py).
 
-    One streaming encoder pass over ``train_ds``; ``save_path`` (npz)
-    persists the fitted statistics next to the evaluation artifacts so
-    the fit is reproducible/inspectable.
+    Fitting is one streaming encoder pass over ``train_ds``; ``save_path``
+    (npz) persists the statistics next to the evaluation artifacts, and
+    ``load_path`` reuses a previous fit instead (--latent-stats).
     """
     from vad_tpu.eval.latent_score import (
-        fit_latent_stats,
+        fit_or_load,
         make_distance_step,
-        save_stats,
         upsample_maps,
     )
 
@@ -240,16 +239,17 @@ def make_latent_maps_fn(
         return model.apply(v, x, method=ConvAutoencoder.feature_pyramid)
 
     loader = Loader(train_ds, batch_size, num_workers=4)
-    stats = fit_latent_stats(
+    stats = fit_or_load(
         pyramid_fn,
         variables,
         (b["image"] for b in loader),
         layers=layers,
         proj_dim=proj_dim,
         seed=seed,
+        save_path=save_path,
+        load_path=load_path,
+        what="images",
     )
-    if save_path is not None:
-        save_stats(save_path, stats)
     dstep = make_distance_step(pyramid_fn, stats)
 
     def maps_fn(v, x):
@@ -321,21 +321,22 @@ def evaluate(args: Any) -> float:
     scorer = getattr(args, "scorer", "recon") or "recon"
     if scorer == "latent":
         train_ds = MVTecDataset(data_dir, category, "train", image_size)
-        print(
-            f"Latent-distance scorer: fitting per-position Gaussians on "
-            f"{len(train_ds)} normal training images..."
-        )
-        maps_fn, stats = make_latent_maps_fn(
+        load_path = getattr(args, "latent_stats", None)
+        if not load_path:
+            print(
+                f"Latent-distance scorer: fitting per-position Gaussians on "
+                f"{len(train_ds)} normal training images..."
+            )
+        else:
+            print("Latent-distance scorer:")
+        maps_fn, _ = make_latent_maps_fn(
             model,
             variables,
             train_ds,
             proj_dim=int(getattr(args, "latent_proj_dim", 128) or 128),
             seed=int(getattr(args, "seed", 0) or 0),
             save_path=output_dir / "latent_stats.npz",
-        )
-        print(
-            f"  grid {stats.grid}x{stats.grid}, embedding dim {stats.dim}, "
-            f"fit on {stats.n_fit} images (stats -> evaluation/latent_stats.npz)"
+            load_path=load_path,
         )
 
     print("\nComputing metrics...")

@@ -37,6 +37,7 @@ coarse-to-fine feature pyramid (`ConvAutoencoder.feature_pyramid`,
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Iterable, Optional, Sequence, Tuple
 
 import jax
@@ -170,7 +171,9 @@ def fit_latent_stats(
     # (measured: NaN precisions on v5e, finite on CPU).  Subtracting a
     # first-batch anchor keeps the accumulated moments near zero mean,
     # and precision='highest' runs the true-f32 passes.
-    @jax.jit
+    # donate the accumulator: s2 is [P, D, D] (hundreds of MB at image
+    # defaults), so in-place reuse halves transient HBM during the fit
+    @partial(jax.jit, donate_argnums=(0,))
     def update(acc, e, anchor):
         count, s1, s2 = acc
         e = e - anchor
@@ -241,8 +244,42 @@ def upsample_maps(maps: jnp.ndarray, size: int) -> jnp.ndarray:
     return jax.image.resize(maps, (maps.shape[0], size, size), "linear")
 
 
+def fit_or_load(
+    pyramid_fn: PyramidFn,
+    variables,
+    batches: Iterable[np.ndarray],
+    *,
+    save_path=None,
+    load_path=None,
+    what: str = "samples",
+    **fit_kwargs,
+) -> LatentStats:
+    """Shared CLI wiring: load persisted stats (``load_path``) or fit and
+    persist (``save_path``), printing the standard one-line summary both
+    CLIs show.  ``what`` names the fit unit ('images' / 'frames')."""
+    if load_path is not None:
+        stats = load_stats(load_path)
+        print(
+            f"  loaded latent stats: grid {stats.grid}x{stats.grid}, "
+            f"embedding dim {stats.dim}, fitted on {stats.n_fit} {what} "
+            f"({load_path})"
+        )
+        return stats
+    stats = fit_latent_stats(pyramid_fn, variables, batches, **fit_kwargs)
+    suffix = ""
+    if save_path is not None:
+        save_stats(save_path, stats)
+        suffix = f" (stats -> {getattr(save_path, 'name', save_path)})"
+    print(
+        f"  grid {stats.grid}x{stats.grid}, embedding dim {stats.dim}, "
+        f"fit on {stats.n_fit} {what}{suffix}"
+    )
+    return stats
+
+
 def save_stats(path, stats: LatentStats) -> None:
-    """Persist fitted stats (npz) so serving / repeat evals skip the fit."""
+    """Persist fitted stats (npz): inspectable, and reusable via
+    ``--latent-stats`` / `load_stats` so repeat evals can skip the fit."""
     np.savez_compressed(
         path,
         mean=np.asarray(stats.mean),

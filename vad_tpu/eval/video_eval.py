@@ -147,15 +147,16 @@ def evaluate(args: Any) -> float:
 
     objective = saved.get("objective", "reconstruct") or "reconstruct"
     scorer = getattr(args, "scorer", "recon") or "recon"
+    window_maps_fn = None
     if scorer == "latent":
         # Latent-distance scoring (eval/latent_score.py): fit per-position
         # Gaussians on the normal training split's frames, score test
         # windows by per-frame Mahalanobis maps.  Purely spatial (the
         # ConvLSTM plays no role), so it also ignores --objective.
         from vad_tpu.eval.latent_score import (
-            fit_latent_stats,
+            fit_or_load,
             make_distance_step,
-            save_stats,
+            upsample_maps,
         )
 
         train_ds = DatasetClass(
@@ -166,10 +167,14 @@ def evaluate(args: Any) -> float:
             stride=sequence_length,
             image_size=image_size,
         )
-        print(
-            f"Latent-distance scorer: fitting per-position Gaussians on "
-            f"{len(train_ds)} normal training windows..."
-        )
+        load_path = getattr(args, "latent_stats", None)
+        if not load_path:
+            print(
+                f"Latent-distance scorer: fitting per-position Gaussians on "
+                f"{len(train_ds)} normal training windows..."
+            )
+        else:
+            print("Latent-distance scorer:")
 
         def pyramid_fn(v, frames):
             return model.apply(v, frames, method=VideoAutoencoder.feature_pyramid)
@@ -179,19 +184,17 @@ def evaluate(args: Any) -> float:
                 fr = b["frames"]
                 yield fr.reshape(-1, *fr.shape[2:])  # [B*T, H, W, C]
 
-        stats = fit_latent_stats(
+        eval_dir_early = Path(args.checkpoint).parent / "evaluation"
+        eval_dir_early.mkdir(exist_ok=True)
+        stats = fit_or_load(
             pyramid_fn,
             variables,
             _frame_batches(),
             proj_dim=int(getattr(args, "latent_proj_dim", 128) or 128),
             seed=0,
-        )
-        eval_dir_early = Path(args.checkpoint).parent / "evaluation"
-        eval_dir_early.mkdir(exist_ok=True)
-        save_stats(eval_dir_early / "latent_stats.npz", stats)
-        print(
-            f"  grid {stats.grid}x{stats.grid}, embedding dim {stats.dim}, "
-            f"fit on {stats.n_fit} frames (stats -> evaluation/latent_stats.npz)"
+            save_path=eval_dir_early / "latent_stats.npz",
+            load_path=load_path,
+            what="frames",
         )
         dstep = make_distance_step(pyramid_fn, stats)
 
@@ -200,6 +203,11 @@ def evaluate(args: Any) -> float:
             maps = dstep(v, flat)
             frame = jnp.mean(maps, axis=(1, 2)).reshape(x.shape[0], x.shape[1])
             return jnp.mean(frame, axis=1), frame
+
+        def window_maps_fn(v, x):
+            flat = x.reshape(-1, *x.shape[2:])
+            maps = upsample_maps(dstep(v, flat), x.shape[2])
+            return maps.reshape(*x.shape[:2], *maps.shape[1:])
 
     else:
         score_method = (
@@ -304,7 +312,10 @@ def evaluate(args: Any) -> float:
 
     print("\nGenerating visualizations...")
     generate_visualizations(
-        model, variables, test_ds, eval_dir, num_samples=4, objective=objective
+        model, variables, test_ds, eval_dir, num_samples=4,
+        # latent maps align 1:1 with frames, so no predict-mode offset
+        objective=("reconstruct" if scorer == "latent" else objective),
+        window_maps_fn=window_maps_fn,
     )
 
     with open(eval_dir / "results.txt", "w") as f:
@@ -335,13 +346,16 @@ def evaluate(args: Any) -> float:
 
 def generate_visualizations(
     model, variables, dataset, output_dir: Path, num_samples: int = 4,
-    objective: str = "reconstruct",
+    objective: str = "reconstruct", window_maps_fn=None,
 ):
     """Side-by-side PNGs (original | reconstruction | heatmap) for the
     middle frame of a few normal/anomalous windows (reference
     evaluate_video.py:251-306).  For predict-trained checkpoints the
     heatmap/score use prediction error (output t vs frame t+1), matching
-    the metrics."""
+    the metrics.  ``window_maps_fn(v, x) -> [B, T, H, W]`` (the latent
+    scorer path) replaces the heatmap and score source so artifacts match
+    the metrics in results.txt; the middle panel stays the decoder
+    output."""
     labels = dataset.labels
     normal_idx = [i for i, l in enumerate(labels) if l == 0][: num_samples // 2]
     anomaly_idx = [i for i, l in enumerate(labels) if l == 1][: num_samples // 2]
@@ -358,8 +372,12 @@ def generate_visualizations(
     @jax.jit
     def forward(v, x):
         recon = model.apply(v, x, train=False)
-        err = model.apply(v, x, per_pixel=True, method=err_method)
-        seq = model.apply(v, x, method=err_method)
+        if window_maps_fn is not None:
+            err = window_maps_fn(v, x)
+            seq = jnp.mean(err, axis=(1, 2, 3))
+        else:
+            err = model.apply(v, x, per_pixel=True, method=err_method)
+            seq = model.apply(v, x, method=err_method)
         return recon, err, seq
 
     for idx in selected:
@@ -381,9 +399,10 @@ def generate_visualizations(
         w = orig.shape[1]
         combined = cv2.cvtColor(combined, cv2.COLOR_RGB2BGR)
         middle_title = "Prediction" if objective == "predict" else "Reconstruction"
+        heat_title = "Latent Distance" if window_maps_fn is not None else "Error Heatmap"
         cv2.putText(combined, "Original", (10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
         cv2.putText(combined, middle_title, (w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
-        cv2.putText(combined, "Error Heatmap", (2 * w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+        cv2.putText(combined, heat_title, (2 * w + 10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
         cv2.putText(
             combined,
             f"{label_name} | Score: {float(seq[0]):.4f}",
