@@ -154,6 +154,37 @@ def test_video_pyramid_and_scoring():
     assert np.all(np.isfinite(frame_scores))
 
 
+def test_temporal_features_expanding_pyramid():
+    """A pyramid_fn that expands samples (windows -> frames via
+    VideoAutoencoder.temporal_features) fits and scores correctly:
+    n_fit counts embeddings and distance maps size from the embedding."""
+    from vad_tpu.models.video_autoencoder import VideoAutoencoder
+
+    model = VideoAutoencoder(latent_dim=16, lstm_hidden_dim=16, lstm_layers=1)
+    x0 = jnp.zeros((1, 2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x0, train=False)
+
+    def pyramid_fn(v, windows):
+        (h_seq,) = model.apply(
+            v, windows, method=VideoAutoencoder.temporal_features
+        )
+        return (h_seq.reshape(-1, *h_seq.shape[2:]),)
+
+    rng = np.random.default_rng(5)
+    windows = [
+        rng.normal(scale=0.1, size=(3, 4, 32, 32, 3)).astype(np.float32)
+        for _ in range(2)
+    ]
+    stats = ls.fit_latent_stats(
+        pyramid_fn, variables, iter(windows), layers=(0,), proj_dim=8
+    )
+    assert stats.n_fit == 2 * 3 * 4  # frames, not windows
+    step = jax.jit(ls.make_distance_step(pyramid_fn, stats))
+    maps = step(variables, jnp.asarray(windows[0]))
+    assert maps.shape == (3 * 4, stats.grid, stats.grid)  # per frame
+    assert bool(jnp.isfinite(maps).all())
+
+
 def test_cli_flags_parse():
     import evaluate as eval_cli
     import evaluate_video as ev_cli

@@ -188,17 +188,18 @@ def fit_latent_stats(
         jnp.zeros((p, d), jnp.float32),
         jnp.zeros((p, d, d), jnp.float32),
     )
-    n_fit = 0
     anchor = None
     batch = first
     while batch is not None:
         x = jnp.asarray(batch)
-        n_fit += int(x.shape[0])
         e = embed(variables, x)
         if anchor is None:
             anchor = jnp.mean(e, axis=0)  # [P, D]
         acc = update(acc, e, anchor)
         batch = next(it, None)
+    # embedding count, not input count: pyramid_fn may expand samples
+    # (video windows -> per-frame features)
+    n_fit = int(np.asarray(acc[0]))
 
     @jax.jit
     def finalize(acc, anchor):
@@ -234,7 +235,9 @@ def make_distance_step(pyramid_fn: PyramidFn, stats: LatentStats):
     def step(v, x, mean=stats.mean, precision=stats.precision, proj=stats.proj):
         e = pyramid_embed(pyramid_fn(v, x), layers, g, proj) - mean  # [N, P, D]
         d2 = jnp.einsum("npd,pde,npe->np", e, precision, e, precision="highest")
-        return jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(x.shape[0], g, g)
+        # N comes from the embedding, not the input: pyramid_fn may expand
+        # samples (e.g. video windows -> per-frame features)
+        return jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(e.shape[0], g, g)
 
     return step
 

@@ -363,6 +363,20 @@ class VideoAutoencoder(nn.Module):
         _, pyramid = self.encoder(x, False, return_pyramid=True)
         return pyramid
 
+    def temporal_features(self, x: jnp.ndarray):
+        """Per-frame ConvLSTM hidden maps, 1-level pyramid of
+        [B, T, h, w, hidden] (inference mode).
+
+        Motion-context features for the temporal latent scorer
+        (eval/latent_score.py): h_t integrates the window's history, so
+        motion that contradicts it (e.g. a patch scrolling against the
+        global flow) pushes h_t off the normal-state manifold even when
+        every individual frame is a plausible appearance — the case
+        where per-frame scorers (recon, latent) sit at chance by
+        construction (data/synthetic.py textured_video)."""
+        z = self.encoder(x, False)
+        return (self.convlstm(z),)
+
     def stream_step(self, x: jnp.ndarray, states):
         """Streaming chunk inference carrying ConvLSTM state across calls.
 
