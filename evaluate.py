@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Random-projection dimension for the latent "
                              "scorer's embeddings (caps the per-position "
                              "covariance size)")
+    parser.add_argument("--latent-grid", type=int, default=None,
+                        help="Grid size for the latent scorer's anomaly "
+                             "maps (default: middle feature layer, capped "
+                             "at 32; higher = finer localization, "
+                             "quadratically larger statistics)")
     parser.add_argument("--latent-stats", type=str, default=None,
                         help="Reuse a previously fitted latent_stats.npz "
                              "instead of refitting on the training split")

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--latent-proj-dim", type=int, default=128,
                         help="Random-projection dimension for the latent "
                              "scorer's embeddings")
+    parser.add_argument("--latent-grid", type=int, default=None,
+                        help="Grid size for the latent scorer's per-frame "
+                             "maps (default: middle feature layer, capped "
+                             "at 32)")
     parser.add_argument("--latent-stats", type=str, default=None,
                         help="Reuse a previously fitted latent_stats.npz "
                              "instead of refitting on the training split")

@@ -154,6 +154,31 @@ def test_video_pyramid_and_scoring():
     assert np.all(np.isfinite(frame_scores))
 
 
+def test_fit_tail_padding_exact(tiny_backbone):
+    """Tail batches are padded to the leading batch size (one compiled
+    shape) with masked accumulation — statistics match exact batching."""
+    _, variables, pyramid_fn = tiny_backbone
+    rng = np.random.default_rng(6)
+    imgs = (0.1 + rng.normal(scale=0.05, size=(6, 64, 64, 3))).astype(np.float32)
+    a = ls.fit_latent_stats(pyramid_fn, variables, iter([imgs]), proj_dim=16, seed=1)
+    b = ls.fit_latent_stats(
+        pyramid_fn, variables, iter([imgs[:4], imgs[4:]]), proj_dim=16, seed=1
+    )
+    assert a.n_fit == b.n_fit == 6
+    np.testing.assert_allclose(
+        np.asarray(a.mean), np.asarray(b.mean), rtol=1e-4, atol=1e-5
+    )
+    # compare the observable (distances), not raw precision entries: the
+    # inverse of a 6-sample covariance amplifies f32 noise element-wise
+    step_a = jax.jit(ls.make_distance_step(pyramid_fn, a))
+    step_b = jax.jit(ls.make_distance_step(pyramid_fn, b))
+    probe = (0.1 + np.random.default_rng(7).normal(
+        scale=0.08, size=(3, 64, 64, 3))).astype(np.float32)
+    da = np.asarray(step_a(variables, jnp.asarray(probe)))
+    db = np.asarray(step_b(variables, jnp.asarray(probe)))
+    np.testing.assert_allclose(da, db, rtol=2e-2, atol=1e-2)
+
+
 def test_temporal_features_expanding_pyramid():
     """A pyramid_fn that expands samples (windows -> frames via
     VideoAutoencoder.temporal_features) fits and scores correctly:

@@ -73,7 +73,7 @@ def smooth_error_map(err: jnp.ndarray, sigma: float) -> jnp.ndarray:
 def compute_scores(
     model, variables, test_ds, batch_size: int = 16, num_workers: int = 4,
     score_mode: str = "mean", score_smooth: float = 0.0, mesh=None,
-    maps_fn=None,
+    maps_fn=None, scorer_state=None,
 ):
     """(labels, scores, defect_types) over the test split.
 
@@ -84,9 +84,11 @@ def compute_scores(
     Gaussian-blurs the map (sigma in pixels) before the reduction.
     ``mesh``: shard each batch over the 'data' axis
     (parallel.sharding.data_parallel_jit).
-    ``maps_fn(variables, x) -> [B, H, W]`` replaces the reconstruction
-    error map as the anomaly map (the latent-distance scorer path,
-    eval/latent_score.py); must be traceable — it is jitted here.
+    ``maps_fn(variables, scorer_state, x) -> [B, H, W]`` replaces the
+    reconstruction error map as the anomaly map (the latent-distance
+    scorer path); ``scorer_state`` is its fitted-statistics pytree,
+    threaded through the jit as a runtime argument rather than closed
+    over (latent_score.stats_state explains why).
     """
     if mesh is not None:
         from vad_tpu.parallel.sharding import padded_batch_size
@@ -94,9 +96,10 @@ def compute_scores(
         batch_size = padded_batch_size(batch_size, mesh)
     loader = Loader(test_ds, batch_size, num_workers=num_workers)
 
-    def score_step(v, x):
+    def score_step(vs, x):
+        v, state = vs
         if maps_fn is not None:
-            err = maps_fn(v, x)
+            err = maps_fn(v, state, x)
         else:
             err = model.apply(
                 v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
@@ -114,7 +117,7 @@ def compute_scores(
     labels, scores, defects = [], [], []
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
-        s = np.asarray(score_step(variables, padded["image"]))[:n_real]
+        s = np.asarray(score_step((variables, scorer_state), padded["image"]))[:n_real]
         scores.append(s)
         labels.append(np.asarray(batch["label"]))
         defects.extend(batch["defect_type"])
@@ -123,7 +126,7 @@ def compute_scores(
 
 def compute_localization(
     model, variables, test_ds, batch_size: int = 16, score_smooth: float = 0.0,
-    mesh=None, maps_fn=None,
+    mesh=None, maps_fn=None, scorer_state=None,
 ) -> Dict[str, float]:
     """Localization metrics against the ground-truth masks, one device pass.
 
@@ -148,9 +151,10 @@ def compute_localization(
         batch_size = padded_batch_size(batch_size, mesh)
     loader = Loader(test_ds, batch_size, num_workers=4)
 
-    def maps_step(v, x):
+    def maps_step(vs, x):
+        v, state = vs
         if maps_fn is not None:
-            err = maps_fn(v, x)
+            err = maps_fn(v, state, x)
         else:
             err = model.apply(
                 v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
@@ -163,7 +167,7 @@ def compute_localization(
     all_maps, all_masks = [], []
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"image": batch["image"]}, batch_size)
-        err = np.asarray(maps_step(variables, padded["image"]))[:n_real]
+        err = np.asarray(maps_step((variables, scorer_state), padded["image"]))[:n_real]
         all_maps.append(err)
         all_masks.append(np.asarray(batch["mask"]) > 0.5)
     maps = np.concatenate(all_maps)
@@ -177,7 +181,7 @@ def compute_localization(
 
 
 def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8,
-                             maps_fn=None):
+                             maps_fn=None, scorer_state=None):
     """Half normal / half anomalous samples with recon + error map + mask
     (reference evaluate.py:113-131 selection policy).  With ``maps_fn``
     the error panel shows that anomaly map (e.g. latent distance) while
@@ -190,10 +194,11 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8,
         return []
 
     @jax.jit
-    def recon_and_error(v, x):
+    def recon_and_error(vs, x):
+        v, state = vs
         recon = model.apply(v, x, train=False)
         if maps_fn is not None:
-            err = maps_fn(v, x)
+            err = maps_fn(v, state, x)
         else:
             err = model.apply(
                 v, x, per_pixel=True, method=ConvAutoencoder.reconstruction_error
@@ -204,7 +209,7 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8,
     for idx in selected:
         sample = test_ds[idx]
         x = jnp.asarray(sample["image"][None])
-        recon, err = recon_and_error(variables, x)
+        recon, err = recon_and_error((variables, scorer_state), x)
         rows.append(
             {
                 "image": sample["image"],
@@ -219,7 +224,8 @@ def make_reconstruction_rows(model, variables, test_ds, n_samples: int = 8,
 
 def make_latent_maps_fn(
     model, variables, train_ds, *, batch_size: int = 16, layers=(0, 1, 2),
-    proj_dim: int = 128, seed: int = 0, save_path=None, load_path=None,
+    proj_dim: int = 128, grid=None, seed: int = 0, save_path=None,
+    load_path=None,
 ):
     """Fit (or load) the latent-distance scorer and return
     (maps_fn, stats): ``maps_fn(v, x) -> [B, H, W]`` Mahalanobis maps
@@ -228,10 +234,15 @@ def make_latent_maps_fn(
     Fitting is one streaming encoder pass over ``train_ds``; ``save_path``
     (npz) persists the statistics next to the evaluation artifacts, and
     ``load_path`` reuses a previous fit instead (--latent-stats).
+
+    Returns ``maps_fn(variables, scorer_state, x)`` plus the matching
+    ``scorer_state`` pytree — state is a runtime argument, never a jit
+    closure constant (latent_score.stats_state).
     """
     from vad_tpu.eval.latent_score import (
         fit_or_load,
-        make_distance_step,
+        make_distance_fn,
+        stats_state,
         upsample_maps,
     )
 
@@ -245,17 +256,18 @@ def make_latent_maps_fn(
         (b["image"] for b in loader),
         layers=layers,
         proj_dim=proj_dim,
+        grid=grid,
         seed=seed,
         save_path=save_path,
         load_path=load_path,
         what="images",
     )
-    dstep = make_distance_step(pyramid_fn, stats)
+    dfn = make_distance_fn(pyramid_fn, stats.layers, stats.grid)
 
-    def maps_fn(v, x):
-        return upsample_maps(dstep(v, x), x.shape[1])
+    def maps_fn(v, state, x):
+        return upsample_maps(dfn(v, state, x), x.shape[1])
 
-    return maps_fn, stats
+    return maps_fn, stats_state(stats)
 
 
 def write_results_txt(
@@ -318,6 +330,7 @@ def evaluate(args: Any) -> float:
         )
 
     maps_fn = None
+    scorer_state = None
     scorer = getattr(args, "scorer", "recon") or "recon"
     if scorer == "latent":
         train_ds = MVTecDataset(data_dir, category, "train", image_size)
@@ -329,11 +342,12 @@ def evaluate(args: Any) -> float:
             )
         else:
             print("Latent-distance scorer:")
-        maps_fn, _ = make_latent_maps_fn(
+        maps_fn, scorer_state = make_latent_maps_fn(
             model,
             variables,
             train_ds,
             proj_dim=int(getattr(args, "latent_proj_dim", 128) or 128),
+            grid=getattr(args, "latent_grid", None),
             seed=int(getattr(args, "seed", 0) or 0),
             save_path=output_dir / "latent_stats.npz",
             load_path=load_path,
@@ -342,7 +356,7 @@ def evaluate(args: Any) -> float:
     print("\nComputing metrics...")
     labels, scores, defects = compute_scores(
         model, variables, test_ds, score_mode=score_mode, score_smooth=score_smooth,
-        mesh=mesh, maps_fn=maps_fn,
+        mesh=mesh, maps_fn=maps_fn, scorer_state=scorer_state,
     )
     if len(np.unique(labels)) > 1:
         score = auroc(labels, scores)
@@ -353,7 +367,7 @@ def evaluate(args: Any) -> float:
     breakdown = per_defect_breakdown(labels, scores, defects)
     loc = compute_localization(
         model, variables, test_ds, score_smooth=score_smooth, mesh=mesh,
-        maps_fn=maps_fn,
+        maps_fn=maps_fn, scorer_state=scorer_state,
     )
     pixel_score = loc["pixel_auroc"]
 
@@ -377,7 +391,9 @@ def evaluate(args: Any) -> float:
     if len(np.unique(labels)) > 1:
         plot_roc_curve(labels, scores, output_dir / "roc_curve.png")
     plot_score_distribution(labels, scores, output_dir / "score_distribution.png")
-    rows = make_reconstruction_rows(model, variables, test_ds, maps_fn=maps_fn)
+    rows = make_reconstruction_rows(
+        model, variables, test_ds, maps_fn=maps_fn, scorer_state=scorer_state
+    )
     plot_reconstruction_grid(rows, output_dir / "reconstructions.png")
     write_results_txt(
         output_dir / "results.txt", score, breakdown, pixel_score, loc["aupro"],

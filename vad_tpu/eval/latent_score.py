@@ -104,11 +104,19 @@ def pyramid_embed(
     return e
 
 
+DEFAULT_MAX_GRID = 32
+
+
 def default_grid(feats: Sequence[jnp.ndarray], layers: Sequence[int]) -> int:
-    """Middle selected layer's spatial size — fine enough to localize,
-    coarse enough that [P, D, D] covariances stay small."""
+    """Middle selected layer's spatial size, capped at DEFAULT_MAX_GRID.
+
+    The cap bounds the per-position state: grid G costs G^2 * D^2 floats
+    of covariance/precision (G=64, D=128 -> 268 MB f32 — measured to
+    slow every compile/save/transfer without a localization win over
+    G=32 at MVTec-like defect sizes).  Pass ``grid=`` explicitly for
+    finer maps."""
     sizes = sorted(int(feats[i].shape[1]) for i in layers)
-    return sizes[len(sizes) // 2]
+    return min(sizes[len(sizes) // 2], DEFAULT_MAX_GRID)
 
 
 def make_projection(
@@ -171,14 +179,19 @@ def fit_latent_stats(
     # (measured: NaN precisions on v5e, finite on CPU).  Subtracting a
     # first-batch anchor keeps the accumulated moments near zero mean,
     # and precision='highest' runs the true-f32 passes.
-    # donate the accumulator: s2 is [P, D, D] (hundreds of MB at image
-    # defaults), so in-place reuse halves transient HBM during the fit
+    # donate the accumulator: s2 is [P, D, D] (tens of MB at defaults),
+    # so in-place reuse halves transient HBM during the fit.  ``k`` masks
+    # rows past the real sample count: tail batches are PADDED up to the
+    # leading batch size so every update hits one compiled executable —
+    # a second shape costs a full recompile of the embedded encoder,
+    # measured at ~75 s through the remote-compile tunnel.
     @partial(jax.jit, donate_argnums=(0,))
-    def update(acc, e, anchor):
+    def update(acc, e, anchor, k):
         count, s1, s2 = acc
-        e = e - anchor
+        valid = (jnp.arange(e.shape[0]) < k)[:, None, None]
+        e = jnp.where(valid, e - anchor, 0.0)
         return (
-            count + e.shape[0],
+            count + k,
             s1 + jnp.sum(e, axis=0),
             s2 + jnp.einsum("npd,npe->pde", e, e, precision="highest"),
         )
@@ -189,13 +202,25 @@ def fit_latent_stats(
         jnp.zeros((p, d, d), jnp.float32),
     )
     anchor = None
+    lead_n = int(np.asarray(first).shape[0])
     batch = first
     while batch is not None:
-        x = jnp.asarray(batch)
-        e = embed(variables, x)
+        x = np.asarray(batch)
+        k = x.shape[0]
+        if k < lead_n:  # pad tail batches: one compiled shape for the fit
+            x = np.concatenate([x, np.repeat(x[-1:], lead_n - k, axis=0)])
+        elif k > lead_n:
+            raise ValueError(
+                f"fit batches must not grow: got {k} after leading {lead_n}"
+            )
+        e = embed(variables, jnp.asarray(x))
         if anchor is None:
             anchor = jnp.mean(e, axis=0)  # [P, D]
-        acc = update(acc, e, anchor)
+        # pyramid_fn may expand samples (windows -> frames); padded input
+        # rows expand to trailing embedding rows, so the mask scales by
+        # the (static) expansion factor
+        expansion = e.shape[0] // lead_n
+        acc = update(acc, e, anchor, jnp.float32(k * expansion))
         batch = next(it, None)
     # embedding count, not input count: pyramid_fn may expand samples
     # (video windows -> per-frame features)
@@ -225,19 +250,49 @@ def fit_latent_stats(
     )
 
 
-def make_distance_step(pyramid_fn: PyramidFn, stats: LatentStats):
-    """Jittable ``step(variables, x) -> [N, G, G]`` Mahalanobis maps.
+def stats_state(stats: LatentStats):
+    """The fitted arrays as a pytree to thread THROUGH jit boundaries.
+
+    The precision tensor is large ([P, D, D]: 268 MB f32 at 256px image
+    defaults) — closing over it bakes it into the compiled executable as
+    a constant, which bloats compiles and overflows remote-compile
+    transports (measured: HTTP 413 through the axon tunnel).  CLI paths
+    must pass this state as a runtime argument instead."""
+    return (stats.mean, stats.precision, stats.proj)
+
+
+def make_distance_fn(pyramid_fn: PyramidFn, layers, grid: int):
+    """``fn(variables, state, x) -> [N, G, G]`` Mahalanobis maps with the
+    fitted statistics as an explicit argument (see `stats_state`).
 
     The heavy lifting is two batched contractions on the MXU; sqrt at
     the end so scores scale like a z-score rather than its square."""
-    layers, g = stats.layers, stats.grid
+    layers = tuple(int(i) for i in layers)
+    g = int(grid)
 
-    def step(v, x, mean=stats.mean, precision=stats.precision, proj=stats.proj):
+    def fn(v, state, x):
+        mean, precision, proj = state
         e = pyramid_embed(pyramid_fn(v, x), layers, g, proj) - mean  # [N, P, D]
         d2 = jnp.einsum("npd,pde,npe->np", e, precision, e, precision="highest")
         # N comes from the embedding, not the input: pyramid_fn may expand
         # samples (e.g. video windows -> per-frame features)
         return jnp.sqrt(jnp.maximum(d2, 0.0)).reshape(e.shape[0], g, g)
+
+    return fn
+
+
+def make_distance_step(pyramid_fn: PyramidFn, stats: LatentStats):
+    """Closure variant of `make_distance_fn`: ``step(variables, x)``.
+
+    Convenient for library/notebook use on modest grids; jitting it bakes
+    the statistics in as constants, so CLI/serving paths use
+    `make_distance_fn` + `stats_state` instead (268 MB constants break
+    remote compilation — see `stats_state`)."""
+    fn = make_distance_fn(pyramid_fn, stats.layers, stats.grid)
+    state = stats_state(stats)
+
+    def step(v, x):
+        return fn(v, state, x)
 
     return step
 

@@ -155,7 +155,8 @@ def evaluate(args: Any) -> float:
         # ConvLSTM plays no role), so it also ignores --objective.
         from vad_tpu.eval.latent_score import (
             fit_or_load,
-            make_distance_step,
+            make_distance_fn,
+            stats_state,
             upsample_maps,
         )
 
@@ -191,25 +192,31 @@ def evaluate(args: Any) -> float:
             variables,
             _frame_batches(),
             proj_dim=int(getattr(args, "latent_proj_dim", 128) or 128),
+            grid=getattr(args, "latent_grid", None),
             seed=0,
             save_path=eval_dir_early / "latent_stats.npz",
             load_path=load_path,
             what="frames",
         )
-        dstep = make_distance_step(pyramid_fn, stats)
+        # fitted statistics ride through the jit as a runtime argument,
+        # never a closure constant (latent_score.stats_state explains why)
+        scorer_state = stats_state(stats)
+        dfn = make_distance_fn(pyramid_fn, stats.layers, stats.grid)
 
-        def score_step(v, x):
+        def score_step(vs, x):
+            v, state = vs
             flat = x.reshape(-1, *x.shape[2:])
-            maps = dstep(v, flat)
+            maps = dfn(v, state, flat)
             frame = jnp.mean(maps, axis=(1, 2)).reshape(x.shape[0], x.shape[1])
             return jnp.mean(frame, axis=1), frame
 
-        def window_maps_fn(v, x):
+        def window_maps_fn(v, state, x):
             flat = x.reshape(-1, *x.shape[2:])
-            maps = upsample_maps(dstep(v, flat), x.shape[2])
+            maps = upsample_maps(dfn(v, state, flat), x.shape[2])
             return maps.reshape(*x.shape[:2], *maps.shape[1:])
 
     else:
+        scorer_state = None
         score_method = (
             VideoAutoencoder.prediction_error
             if objective == "predict"
@@ -218,7 +225,8 @@ def evaluate(args: Any) -> float:
         if objective == "predict":
             print("Scoring objective: future-frame prediction error")
 
-        def score_step(v, x):
+        def score_step(vs, x):
+            v, _ = vs
             seq = model.apply(v, x, method=score_method)
             frame = model.apply(v, x, per_frame=True, method=score_method)
             return seq, frame
@@ -239,7 +247,7 @@ def evaluate(args: Any) -> float:
     print("\nComputing anomaly scores...")
     for batch in loader:
         padded, n_real = pad_batch_for_devices({"frames": batch["frames"]}, batch_size)
-        seq, frame = score_step(variables, padded["frames"])
+        seq, frame = score_step((variables, scorer_state), padded["frames"])
         if custom_agg:
             # derive the window score from per-frame scores (reference
             # parity path keeps the model's own whole-window mean)
@@ -315,7 +323,7 @@ def evaluate(args: Any) -> float:
         model, variables, test_ds, eval_dir, num_samples=4,
         # latent maps align 1:1 with frames, so no predict-mode offset
         objective=("reconstruct" if scorer == "latent" else objective),
-        window_maps_fn=window_maps_fn,
+        window_maps_fn=window_maps_fn, scorer_state=scorer_state,
     )
 
     with open(eval_dir / "results.txt", "w") as f:
@@ -346,7 +354,7 @@ def evaluate(args: Any) -> float:
 
 def generate_visualizations(
     model, variables, dataset, output_dir: Path, num_samples: int = 4,
-    objective: str = "reconstruct", window_maps_fn=None,
+    objective: str = "reconstruct", window_maps_fn=None, scorer_state=None,
 ):
     """Side-by-side PNGs (original | reconstruction | heatmap) for the
     middle frame of a few normal/anomalous windows (reference
@@ -370,10 +378,11 @@ def generate_visualizations(
     )
 
     @jax.jit
-    def forward(v, x):
+    def forward(vs, x):
+        v, state = vs
         recon = model.apply(v, x, train=False)
         if window_maps_fn is not None:
-            err = window_maps_fn(v, x)
+            err = window_maps_fn(v, state, x)
             seq = jnp.mean(err, axis=(1, 2, 3))
         else:
             err = model.apply(v, x, per_pixel=True, method=err_method)
@@ -385,7 +394,7 @@ def generate_visualizations(
         frames = jnp.asarray(sample["frames"][None])
         label = int(sample["label"])
         label_name = "ANOMALY" if label == 1 else "NORMAL"
-        recon, err, seq = forward(variables, frames)
+        recon, err, seq = forward((variables, scorer_state), frames)
 
         t_mid = err.shape[1] // 2  # err is [1, T-1, ...] in predict mode
         # predict mode: panel shows frame t_mid+1, its prediction recon[t_mid]
