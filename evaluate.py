@@ -11,9 +11,15 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Evaluate anomaly detection model")
-    parser.add_argument("--checkpoint", type=str, required=True, help="Path to model checkpoint")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Path to model checkpoint; a DIRECTORY (e.g. "
+                             "./results) evaluates every category's newest "
+                             "best checkpoint under it and writes a "
+                             "cross-category summary")
     parser.add_argument("--category", type=str, default=None,
-                        help="Dataset category (default: from checkpoint)")
+                        help="Dataset category (default: from checkpoint; "
+                             "with a directory checkpoint: 'all' or a comma "
+                             "list selects the campaign's categories)")
     parser.add_argument("--data-dir", type=str, default=None,
                         help="Path to dataset (default: from checkpoint)")
     parser.add_argument("--score-mode", type=str, default="mean",
@@ -53,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
-    from vad_tpu.eval.image_eval import evaluate
+    from pathlib import Path
 
-    evaluate(build_parser().parse_args())
+    args = build_parser().parse_args()
+    if Path(args.checkpoint).is_dir():
+        from vad_tpu.campaign import evaluate_all
+
+        args.results_dir = args.checkpoint
+        evaluate_all(args)
+    else:
+        from vad_tpu.eval.image_eval import evaluate
+
+        evaluate(args)

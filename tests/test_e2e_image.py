@@ -80,6 +80,7 @@ def test_evaluate_cli(trained_run):
     assert "good: NORMAL" in text
     assert "Pixel-level AUROC:" in text  # localization metric (with GT masks)
     assert "AUPRO" in text  # per-region-overlap localization metric
+    assert "Average precision (AUPRC):" in text  # prevalence-aware complement
 
 
 def test_evaluate_cli_data_parallel(trained_run):

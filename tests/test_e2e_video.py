@@ -89,6 +89,8 @@ def test_video_evaluate_cli(trained_video_run):
     text = (out / "results.txt").read_text()
     assert "Sequence-level AUROC" in text
     assert "Frame-level AUROC" in text  # synthetic IPAD fixture has labels
+    assert "Sequence-level AP (AUPRC)" in text
+    assert "Frame-level AP (AUPRC)" in text
     vis = list(out.glob("visualization_*.png"))
     assert len(vis) >= 2
 

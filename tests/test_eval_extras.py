@@ -38,6 +38,53 @@ class TestNumpyFallbacks:
         with pytest.raises(ValueError, match="both classes"):
             metrics.auroc(np.zeros(4), np.arange(4))
 
+    def test_average_precision_matches_sklearn(self, no_sklearn, rng):
+        labels = rng.integers(0, 2, size=200)
+        labels[:5] = 1
+        labels[5:10] = 0
+        scores = rng.normal(size=200) + labels * 0.8
+        ours = metrics.average_precision(labels, scores)
+        monkey_off = metrics._sk_ap  # fixture leaves _sk_ap alone; force the path
+        try:
+            metrics._sk_ap = None
+            fallback = metrics.average_precision(labels, scores)
+        finally:
+            metrics._sk_ap = monkey_off
+        from sklearn.metrics import average_precision_score
+
+        ref = average_precision_score(labels, scores)
+        assert np.isclose(ours, ref, atol=1e-9)
+        assert np.isclose(fallback, ref, atol=1e-9)
+
+    def test_average_precision_with_ties(self, no_sklearn):
+        labels = np.array([0, 0, 1, 1, 0, 1])
+        scores = np.array([0.1, 0.5, 0.5, 0.9, 0.5, 0.5])  # heavy ties
+        metrics._sk_ap_saved, metrics._sk_ap = metrics._sk_ap, None
+        try:
+            ours = metrics.average_precision(labels, scores)
+        finally:
+            metrics._sk_ap = metrics._sk_ap_saved
+        from sklearn.metrics import average_precision_score
+
+        assert np.isclose(ours, average_precision_score(labels, scores), atol=1e-9)
+
+    def test_average_precision_hand_case(self):
+        # descending scores, labels [1, 0, 1]: thresholds give
+        # (P=1, R=1/2), (P=1/2, R=1/2), (P=2/3, R=1)
+        # AP = 1/2 * 1 + 0 * 1/2 + 1/2 * 2/3 = 5/6
+        labels = np.array([1, 0, 1])
+        scores = np.array([0.9, 0.5, 0.1])
+        assert np.isclose(metrics.average_precision(labels, scores), 5.0 / 6.0)
+
+    def test_average_precision_single_class_raises(self):
+        with pytest.raises(ValueError, match="both classes"):
+            metrics.average_precision(np.zeros(4), np.arange(4))
+
+    def test_perfect_detector_ap_is_one(self):
+        labels = np.array([0, 0, 1, 1])
+        scores = np.array([0.1, 0.2, 0.8, 0.9])
+        assert metrics.average_precision(labels, scores) == 1.0
+
     def test_roc_points_fallback_shape(self, no_sklearn, rng):
         labels = np.array([0, 1] * 20)
         scores = rng.normal(size=40)

@@ -14,7 +14,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Train anomaly detection model")
     parser.add_argument("--data-dir", type=str, default="./data", help="Path to dataset")
     parser.add_argument("--category", type=str, default="synthetic",
-                        help="Dataset category (e.g., bottle, synthetic)")
+                        help="Dataset category (e.g., bottle, synthetic); "
+                             "'all' or a comma list trains every category "
+                             "under --data-dir in one campaign")
     parser.add_argument("--image-size", type=int, default=256, help="Input image size")
     parser.add_argument("--latent-dim", type=int, default=256, help="Latent space dimension")
     parser.add_argument("--epochs", type=int, default=50, help="Number of training epochs")
@@ -58,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
-    from vad_tpu.train.image_trainer import train
+    args = build_parser().parse_args()
+    if args.category == "all" or "," in (args.category or ""):
+        from vad_tpu.campaign import train_all
 
-    train(build_parser().parse_args())
+        train_all(args)
+    else:
+        from vad_tpu.train.image_trainer import train
+
+        train(args)

@@ -12,6 +12,7 @@ from vad_tpu.eval.latent_score import (  # noqa: F401
 from vad_tpu.eval.metrics import (  # noqa: F401
     aupro,
     auroc,
+    average_precision,
     calibrate_threshold,
     per_defect_breakdown,
     separation_ratio,

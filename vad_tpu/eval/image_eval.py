@@ -18,7 +18,7 @@ import numpy as np
 
 from vad_tpu.data.image_dataset import MVTecDataset
 from vad_tpu.data.loader import Loader
-from vad_tpu.eval.metrics import auroc, per_defect_breakdown
+from vad_tpu.eval.metrics import auroc, average_precision, per_defect_breakdown
 from vad_tpu.eval.plots import (
     plot_reconstruction_grid,
     plot_roc_curve,
@@ -273,7 +273,7 @@ def make_latent_maps_fn(
 def write_results_txt(
     path: Path, score: float, breakdown: Dict[str, Dict],
     pixel_score: float = float("nan"), aupro_score: float = float("nan"),
-    scorer: str = "recon",
+    scorer: str = "recon", ap_score: float = float("nan"),
 ) -> None:
     """reference evaluate.py:273-278 format (leading lines byte-compatible;
     localization metrics and a non-default scorer appended as extra
@@ -287,6 +287,8 @@ def write_results_txt(
                 f"  {defect}: {status}, n={res['count']}, "
                 f"mean_score={res['mean_score']:.4f}\n"
             )
+        if np.isfinite(ap_score):
+            f.write(f"\nAverage precision (AUPRC): {ap_score:.4f}\n")
         if np.isfinite(pixel_score):
             f.write(f"\nPixel-level AUROC: {pixel_score:.4f}\n")
         if np.isfinite(aupro_score):
@@ -358,8 +360,10 @@ def evaluate(args: Any) -> float:
         model, variables, test_ds, score_mode=score_mode, score_smooth=score_smooth,
         mesh=mesh, maps_fn=maps_fn, scorer_state=scorer_state,
     )
+    ap_score = float("nan")
     if len(np.unique(labels)) > 1:
         score = auroc(labels, scores)
+        ap_score = average_precision(labels, scores)
     else:
         # single-class test split (e.g. only good/ images present)
         score = 0.0
@@ -373,6 +377,8 @@ def evaluate(args: Any) -> float:
 
     print(f"\n{'=' * 50}")
     print(f"AUROC: {score:.4f}")
+    if np.isfinite(ap_score):
+        print(f"Average precision (AUPRC): {ap_score:.4f}")
     if np.isfinite(pixel_score):
         print(f"Pixel-level AUROC: {pixel_score:.4f}")
     if np.isfinite(loc["aupro"]):
@@ -397,7 +403,7 @@ def evaluate(args: Any) -> float:
     plot_reconstruction_grid(rows, output_dir / "reconstructions.png")
     write_results_txt(
         output_dir / "results.txt", score, breakdown, pixel_score, loc["aupro"],
-        scorer=scorer,
+        scorer=scorer, ap_score=ap_score,
     )
 
     print(f"\nResults saved to: {output_dir}")

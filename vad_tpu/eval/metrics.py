@@ -13,9 +13,11 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 try:
+    from sklearn.metrics import average_precision_score as _sk_ap
     from sklearn.metrics import roc_auc_score as _sk_auroc
     from sklearn.metrics import roc_curve as _sk_roc_curve
 except ImportError:  # pragma: no cover
+    _sk_ap = None
     _sk_auroc = None
     _sk_roc_curve = None
 
@@ -47,6 +49,42 @@ def auroc(labels: np.ndarray, scores: np.ndarray) -> float:
     r_pos = ranks[: len(pos)].sum()
     u = r_pos - len(pos) * (len(pos) + 1) / 2.0
     return float(u / (len(pos) * len(neg)))
+
+
+def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Area under the precision-recall curve (AP step summary).
+
+    AUROC is insensitive to class prevalence: on a test split that is 90%
+    anomalous (common for MVTec categories) a detector can post a high
+    AUROC while its precision at useful recall is poor, and vice versa.
+    AP = Σ_n (R_n − R_{n−1})·P_n over descending-score thresholds is the
+    standard complement reported by the anomaly-detection literature; the
+    reference computes only AUROC (evaluate.py:74, evaluate_video.py:164).
+
+    sklearn when present; the numpy fallback reproduces sklearn's step
+    summation exactly (ties grouped into one threshold, no trapezoid
+    interpolation — interpolated AP is known-optimistic).
+    """
+    labels = np.asarray(labels)
+    scores = np.asarray(scores, dtype=np.float64)
+    if labels.sum() == 0 or (labels == 0).sum() == len(labels):
+        raise ValueError("average precision needs both classes present")
+    if _sk_ap is not None:
+        return float(_sk_ap(labels, scores))
+    order = np.argsort(-scores, kind="stable")
+    sorted_labels = (labels[order] == 1).astype(np.float64)
+    sorted_scores = scores[order]
+    tps = np.cumsum(sorted_labels)
+    fps = np.cumsum(1.0 - sorted_labels)
+    # one (P, R) point per distinct threshold: the last index of each
+    # tied-score run (counting part of a tie group would order positives
+    # before negatives at the same score — optimistic)
+    run_ends = np.nonzero(np.diff(sorted_scores))[0]
+    idx = np.concatenate([run_ends, [len(sorted_scores) - 1]])
+    precision = tps[idx] / (tps[idx] + fps[idx])
+    recall = tps[idx] / tps[-1]
+    d_recall = np.diff(np.concatenate([[0.0], recall]))
+    return float(np.sum(d_recall * precision))
 
 
 def roc_points(labels: np.ndarray, scores: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

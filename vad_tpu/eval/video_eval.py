@@ -23,7 +23,7 @@ except ImportError:  # pragma: no cover
 
 from vad_tpu.data.loader import Loader
 from vad_tpu.data.video_dataset import detect_video_dataset_class
-from vad_tpu.eval.metrics import auroc
+from vad_tpu.eval.metrics import auroc, average_precision
 from vad_tpu.eval.plots import plot_roc_curve, plot_score_distribution, plt
 from vad_tpu.models.video_autoencoder import VideoAutoencoder
 from vad_tpu.parallel.sharding import data_parallel_jit, pad_batch_for_devices
@@ -272,17 +272,23 @@ def evaluate(args: Any) -> float:
     all_labels = np.array(all_labels)
 
     print("\n" + "=" * 50)
+    seq_ap = None
     if len(np.unique(all_labels)) > 1:
         a = auroc(all_labels, all_scores)
+        seq_ap = average_precision(all_labels, all_scores)
         print(f"Sequence-level AUROC: {a:.4f}")
+        print(f"Sequence-level AP (AUPRC): {seq_ap:.4f}")
     else:
         a = 0.0
         print("Cannot compute AUROC - only one class present")
 
     frame_auroc = None
+    frame_ap = None
     if frame_scores and frame_labels and len(np.unique(frame_labels)) > 1:
         frame_auroc = auroc(np.array(frame_labels), np.array(frame_scores))
+        frame_ap = average_precision(np.array(frame_labels), np.array(frame_scores))
         print(f"Frame-level AUROC: {frame_auroc:.4f}")
+        print(f"Frame-level AP (AUPRC): {frame_ap:.4f}")
 
     normal = all_scores[all_labels == 0]
     anomaly = all_scores[all_labels == 1]
@@ -339,6 +345,10 @@ def evaluate(args: Any) -> float:
         f.write(f"Sequence-level AUROC: {a:.4f}\n")
         if frame_auroc is not None:
             f.write(f"Frame-level AUROC: {frame_auroc:.4f}\n")
+        if seq_ap is not None:
+            f.write(f"Sequence-level AP (AUPRC): {seq_ap:.4f}\n")
+        if frame_ap is not None:
+            f.write(f"Frame-level AP (AUPRC): {frame_ap:.4f}\n")
         f.write(f"Test sequences: {len(test_ds)}\n")
         f.write(f"  Normal: {len(normal)}\n")
         f.write(f"  Anomaly: {len(anomaly)}\n\n")
