@@ -21,7 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "with a directory checkpoint: 'all' or a comma "
                              "list selects the campaign's categories)")
     parser.add_argument("--data-dir", type=str, default=None,
-                        help="Path to dataset (default: from checkpoint)")
+                        help="Path to dataset (default: from checkpoint; "
+                             "with a directory checkpoint + '--category all' "
+                             "it is also the category-discovery root — when "
+                             "omitted there, categories are discovered from "
+                             "the trained runs under the checkpoint dir)")
     parser.add_argument("--score-mode", type=str, default="mean",
                         choices=["mean", "max", "p99"],
                         help="Image score = this reduction of the per-pixel "

@@ -70,6 +70,46 @@ class TestCheckpointResolution:
     def test_none_when_untrained(self, tmp_path):
         assert campaign.checkpoint_for_category(tmp_path, "bottle") is None
 
+    def test_discover_trained_categories(self, tmp_path):
+        self._mk_run(tmp_path, "bottle_20250101_000000")
+        self._mk_run(tmp_path, "cable_20250201_000000")
+        self._mk_run(tmp_path, "screw_20250301_000000", with_ckpt=False)
+        self._mk_run(tmp_path, "video_S01_20250401_000000")  # video run: excluded
+        (tmp_path / "stray").mkdir()
+        assert campaign.discover_trained_categories(tmp_path) == ["bottle", "cable"]
+        assert campaign.discover_trained_categories(tmp_path / "nope") == []
+
+
+class TestSummaryFormat:
+    def test_csv_absent_metric_is_empty_cell(self, tmp_path):
+        """'-' breaks naive float parsing of the machine-readable file;
+        absent metrics must be EMPTY csv cells ('-' stays in the txt)."""
+        rows = {"a": {"auroc": 0.9, "ap": 0.8}, "b": {"auroc": 0.7}}
+        campaign.write_summary(tmp_path, rows, missing=["c"], failed=["d"])
+        csv = (tmp_path / "summary.csv").read_text().strip().splitlines()
+        assert csv[2] == "b,0.7000,,,"
+        assert "-" not in (tmp_path / "summary.csv").read_text()
+        txt = (tmp_path / "summary.txt").read_text()
+        assert "-" in txt
+        assert "Skipped (no checkpoint): c" in txt
+        assert "Failed (evaluation error): d" in txt
+
+
+class TestCampaignResumeRejected:
+    def test_train_resume_with_all_rejected(self):
+        """One resume checkpoint cannot apply to a multi-category
+        campaign; argparse must reject the combination (train.py)."""
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "train.py", "--category", "all",
+             "--resume", "x.ckpt"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert proc.returncode == 2
+        assert "--resume cannot be combined" in proc.stderr
+
 
 @pytest.fixture(scope="module")
 def campaign_run(tmp_path_factory):
@@ -136,6 +176,62 @@ class TestEndToEnd:
         cells = {ln.split(",")[0]: ln.split(",")[1] for ln in csv[1:]}
         mean = (float(cells["alpha"]) + float(cells["beta"])) / 2
         assert abs(float(cells["mean"]) - mean) < 5e-5
+
+    def test_evaluate_all_isolates_failures(self, campaign_run, monkeypatch, capsys):
+        """A category whose evaluation throws is recorded as failed; the
+        summary is still written for the categories that succeeded
+        (parity with train_all's isolation contract)."""
+        import evaluate as eval_cli
+        import vad_tpu.eval.image_eval as image_eval
+
+        real_evaluate = image_eval.evaluate
+
+        def exploding(args):
+            if args.category == "alpha":
+                raise RuntimeError("boom: corrupt checkpoint")
+            return real_evaluate(args)
+
+        monkeypatch.setattr(image_eval, "evaluate", exploding)
+        args = eval_cli.build_parser().parse_args(
+            [
+                "--checkpoint", str(campaign_run["results_dir"]),
+                "--category", "all",
+                "--data-dir", str(campaign_run["data_dir"]),
+            ]
+        )
+        args.results_dir = args.checkpoint
+        rows = campaign.evaluate_all(args)
+        assert set(rows) == {"beta"}
+        out = capsys.readouterr().out
+        assert "alpha evaluation FAILED" in out and "boom" in out
+        summary = (
+            campaign_run["results_dir"] / "evaluation_all" / "summary.txt"
+        ).read_text()
+        assert "beta" in summary
+        assert "Failed (evaluation error): alpha" in summary
+
+    def test_evaluate_all_without_data_dir_discovers_from_runs(
+        self, campaign_run, capsys
+    ):
+        """--category all with no --data-dir: categories come from the
+        trained run dirs; each evaluate reads data_dir from its ckpt."""
+        import evaluate as eval_cli
+
+        args = eval_cli.build_parser().parse_args(
+            ["--checkpoint", str(campaign_run["results_dir"]), "--category", "all"]
+        )
+        args.results_dir = args.checkpoint
+        rows = campaign.evaluate_all(args)
+        assert set(rows) == {"alpha", "beta"}
+
+    def test_evaluate_all_without_data_dir_or_runs_raises(self, tmp_path):
+        import argparse
+
+        args = argparse.Namespace(
+            results_dir=str(tmp_path), data_dir=None, category="all"
+        )
+        with pytest.raises(FileNotFoundError, match="no trained"):
+            campaign.evaluate_all(args)
 
     def test_campaign_skips_missing_checkpoint(self, campaign_run, tmp_path, capsys):
         import evaluate as eval_cli

@@ -79,6 +79,9 @@ class TestNumpyFallbacks:
     def test_average_precision_single_class_raises(self):
         with pytest.raises(ValueError, match="both classes"):
             metrics.average_precision(np.zeros(4), np.arange(4))
+        # all-positive must raise too, not return a vacuous 1.0
+        with pytest.raises(ValueError, match="both classes"):
+            metrics.average_precision(np.ones(4), np.arange(4))
 
     def test_perfect_detector_ap_is_one(self):
         labels = np.array([0, 0, 1, 1])

@@ -60,8 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
     if args.category == "all" or "," in (args.category or ""):
+        if args.resume:
+            parser.error(
+                "--resume cannot be combined with a multi-category campaign "
+                "('all' or a comma list): one checkpoint path cannot apply "
+                "to every category. Resume each category individually."
+            )
         from vad_tpu.campaign import train_all
 
         train_all(args)

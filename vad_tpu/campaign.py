@@ -30,7 +30,7 @@ import argparse
 import copy
 import re
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 _RUN_DIR_RE = r"\d{8}_\d{6}"  # image_trainer.py timestamp format
 
@@ -45,6 +45,26 @@ def discover_categories(data_dir: str | Path) -> List[str]:
     return sorted(
         d.name for d in root.iterdir() if d.is_dir() and (d / "train").is_dir()
     )
+
+
+def discover_trained_categories(results_dir: str | Path) -> List[str]:
+    """Category names parsed from ``<category>_<timestamp>/best_model.ckpt``
+    run dirs under ``results_dir``.  Used when --data-dir is omitted in an
+    evaluation campaign: the set of categories that can actually be
+    evaluated is the set with trained checkpoints, and each evaluate()
+    then reads its data_dir from the checkpoint itself."""
+    root = Path(results_dir)
+    if not root.exists():
+        return []
+    pat = re.compile(r"(.+)_" + _RUN_DIR_RE + "$")
+    cats = {
+        m.group(1)
+        for d in root.iterdir()
+        if d.is_dir() and (m := pat.fullmatch(d.name)) and (d / "best_model.ckpt").exists()
+    }
+    # video runs land in video_<category>_<ts>/ (trainer parity with the
+    # reference layout, main.py:57-75); they are not image campaigns.
+    return sorted(c for c in cats if not c.startswith("video_"))
 
 
 def categories_from_arg(category: Optional[str], data_dir: str | Path) -> List[str]:
@@ -136,12 +156,26 @@ def evaluate_all(args: argparse.Namespace) -> Dict[str, Dict[str, float]]:
     from vad_tpu.eval.image_eval import evaluate
 
     results_dir = Path(getattr(args, "results_dir", None) or "./results")
-    data_dir = getattr(args, "data_dir", None) or "./data"
-    cats = categories_from_arg(getattr(args, "category", None), data_dir)
+    data_dir = getattr(args, "data_dir", None)
+    category = getattr(args, "category", None)
+    if data_dir is None and (not category or category == "all"):
+        # No data root to scan: the evaluable set is the set with trained
+        # checkpoints; each evaluate() reads data_dir from its checkpoint.
+        cats = discover_trained_categories(results_dir)
+        if not cats:
+            raise FileNotFoundError(
+                f"--category all with no --data-dir: no trained "
+                f"<category>_<timestamp>/best_model.ckpt runs under "
+                f"{results_dir}; pass --data-dir to discover categories "
+                f"from a dataset root instead"
+            )
+    else:
+        cats = categories_from_arg(category, data_dir or "./data")
     print(f"Evaluation campaign over {len(cats)} categories: {', '.join(cats)}")
 
     rows: Dict[str, Dict[str, float]] = {}
     missing: List[str] = []
+    failed: List[str] = []
     for i, cat in enumerate(cats, 1):
         ckpt = checkpoint_for_category(results_dir, cat)
         if ckpt is None:
@@ -154,28 +188,42 @@ def evaluate_all(args: argparse.Namespace) -> Dict[str, Dict[str, float]]:
         cat_args = copy.copy(args)
         cat_args.checkpoint = str(ckpt)
         cat_args.category = cat
-        evaluate(cat_args)
+        try:
+            evaluate(cat_args)
+        except Exception as e:  # noqa: BLE001 - campaign isolates failures
+            print(f"Category {cat} evaluation FAILED: {type(e).__name__}: {e}")
+            failed.append(cat)
+            continue
         rows[cat] = _parse_results_txt(ckpt.parent / "evaluation" / "results.txt")
 
     if rows:
         out_dir = results_dir / "evaluation_all"
-        write_summary(out_dir, rows, missing)
+        write_summary(out_dir, rows, missing, failed)
         print(f"\nCampaign summary saved to: {out_dir}")
+    if failed:
+        print(f"Campaign finished with failures: {', '.join(failed)}")
     return rows
 
 
 def write_summary(
-    out_dir: Path, rows: Dict[str, Dict[str, float]], missing: List[str] = ()
+    out_dir: Path,
+    rows: Dict[str, Dict[str, float]],
+    missing: Sequence[str] = (),
+    failed: Sequence[str] = (),
 ) -> None:
     """summary.txt (human table) + summary.csv (machine rows), each with
     the unweighted category mean per metric — the MVTec reporting
-    convention."""
+    convention.  Absent metrics render '-' in the human table and an
+    EMPTY cell in the CSV (naive float parsers choke on '-')."""
     out_dir.mkdir(parents=True, exist_ok=True)
     metrics = ["auroc", "ap", "pixel_auroc", "aupro"]
     headers = ["category", "AUROC", "AP", "pixel AUROC", "AUPRO"]
 
     def fmt(row: Dict[str, float], key: str) -> str:
         return f"{row[key]:.4f}" if key in row else "-"
+
+    def fmt_csv(row: Dict[str, float], key: str) -> str:
+        return f"{row[key]:.4f}" if key in row else ""
 
     means = {
         m: (sum(r[m] for r in rows.values() if m in r)
@@ -187,8 +235,8 @@ def write_summary(
     with open(out_dir / "summary.csv", "w") as f:
         f.write(",".join(["category"] + metrics) + "\n")
         for cat in sorted(rows):
-            f.write(",".join([cat] + [fmt(rows[cat], m) for m in metrics]) + "\n")
-        f.write(",".join(["mean"] + [fmt(means, m) for m in metrics]) + "\n")
+            f.write(",".join([cat] + [fmt_csv(rows[cat], m) for m in metrics]) + "\n")
+        f.write(",".join(["mean"] + [fmt_csv(means, m) for m in metrics]) + "\n")
 
     widths = [max(len(h), 14) for h in headers]
     with open(out_dir / "summary.txt", "w") as f:
@@ -203,3 +251,5 @@ def write_summary(
         f.write("  ".join(c.ljust(w) for c, w in zip(cells, widths)) + "\n")
         if missing:
             f.write(f"\nSkipped (no checkpoint): {', '.join(missing)}\n")
+        if failed:
+            f.write(f"Failed (evaluation error): {', '.join(failed)}\n")

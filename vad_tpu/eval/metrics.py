@@ -67,7 +67,7 @@ def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:
     """
     labels = np.asarray(labels)
     scores = np.asarray(scores, dtype=np.float64)
-    if labels.sum() == 0 or (labels == 0).sum() == len(labels):
+    if labels.sum() == 0 or labels.sum() == len(labels):
         raise ValueError("average precision needs both classes present")
     if _sk_ap is not None:
         return float(_sk_ap(labels, scores))
