@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drift-factor", type=float, default=5.0,
                    help="Declare drift when the observed exceedance rate is "
                         "this many times the calibrated contract")
+    p.add_argument("--reload-root", type=str, action="append", default=None,
+                   metavar="DIR",
+                   help="Additional directory POST /v1/reload may load "
+                        "checkpoints from (repeatable). By default reload "
+                        "is restricted to the served checkpoints' run dirs "
+                        "plus the --watch path; paths outside every root "
+                        "are refused with 403")
     return p
 
 
@@ -84,12 +91,16 @@ def main() -> None:
                      "(fused servers do not support hot reload)")
     from vad_tpu.eval.http_server import serve_from_checkpoint
 
+    reload_roots = list(args.reload_root or [])
+    if args.watch:
+        reload_roots.append(args.watch)
     server = serve_from_checkpoint(
         args.checkpoint, args.host, args.port, args.slots, args.chunk,
         args.dtype, fused_input=args.fused_input or None,
         data_parallel=args.data_parallel, spatial_parallel=args.spatial,
         image_checkpoint=args.image_checkpoint, slot_ttl=args.slot_ttl,
         drift_window=args.drift_window, drift_factor=args.drift_factor,
+        reload_roots=reload_roots,
     )
     h = server.service.health()
     if h["model_type"] == "video":

@@ -17,11 +17,15 @@ SIZE, SLOTS, CHUNK = 64, 3, 4
 
 
 @pytest.fixture(scope="module")
-def server():
+def server(tmp_path_factory):
     model = VideoAutoencoder()
     variables = model.init(jax.random.key(0), jnp.zeros((1, 2, SIZE, SIZE, 3)), train=False)
     scorer = MultiStreamScorer(model, variables, SLOTS, CHUNK, SIZE)
-    srv = ScoringServer(scorer, host="127.0.0.1", port=0)
+    # reload root = the pytest basetemp so tests can reload checkpoints
+    # they write under tmp_path (production derives roots from the served
+    # checkpoints' run dirs — see test_reload_path_restriction)
+    srv = ScoringServer(scorer, host="127.0.0.1", port=0,
+                        reload_roots=[tmp_path_factory.getbasetemp()])
     srv.start_background()
     yield srv
     srv.close()
@@ -265,7 +269,8 @@ def test_hot_reload_image(tmp_path):
     model = ConvAutoencoder(latent_dim=64)
     v1 = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
     service = ImageScoringService(model, v1, SIZE, batch=4, dtype=jnp.float32)
-    srv = ScoringServer(service=service, host="127.0.0.1", port=0)
+    srv = ScoringServer(service=service, host="127.0.0.1", port=0,
+                        reload_roots=[tmp_path])
     srv.start_background()
     try:
         imgs = np.random.default_rng(3).integers(
@@ -355,7 +360,8 @@ def test_dual_model_serving(tmp_path):
     ivars = imodel.init(jax.random.key(1), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
     iservice = ImageScoringService(imodel, ivars, SIZE, batch=4, dtype=jnp.float32)
     srv = ScoringServer(host="127.0.0.1", port=0,
-                        services={"video": ScoringService(scorer), "image": iservice})
+                        services={"video": ScoringService(scorer), "image": iservice},
+                        reload_roots=[tmp_path])
     srv.start_background()
     try:
         status, h = _req(srv, "GET", "/v1/health")

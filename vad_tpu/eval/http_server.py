@@ -692,10 +692,36 @@ class ScoringService:
         }
 
 
-def _make_handler(services: Dict[str, object]):
+def _reload_path_allowed(path: str, roots) -> Optional[str]:
+    """None when ``path`` resolves under one of ``roots``, else the 403
+    message.  /v1/reload names a file on the daemon's disk; without this
+    fence any client that can reach the port gets the daemon to open an
+    arbitrary attacker-influenced path (and, before the restricted
+    unpickler, to execute it).  Roots are resolved, so symlinks cannot
+    escape them."""
+    if not roots:
+        return ("reload is disabled: this server was started without "
+                "reload roots (serve.py derives them from --checkpoint/"
+                "--watch; pass --reload-root to add more)")
+    try:
+        # non-strict: normalizes '..' and resolves existing symlinks; a
+        # missing file inside a root still passes here and then 400s in
+        # load_checkpoint (same contract as before the fence)
+        p = Path(path).resolve(strict=False)
+    except OSError:
+        return f"unresolvable checkpoint path: {path}"
+    for root in roots:
+        if p == root or root in p.parents:
+            return None
+    return (f"checkpoint path {path} is outside the allowed reload roots "
+            f"{[str(r) for r in roots]}")
+
+
+def _make_handler(services: Dict[str, object], reload_roots=()):
     """Handler over a ``kind -> service`` map: a server holds an image
     service, a video service, or BOTH (serve.py --image-checkpoint);
-    each endpoint routes to its kind and 400s when that model is absent."""
+    each endpoint routes to its kind and 400s when that model is absent.
+    ``reload_roots``: resolved directories POST /v1/reload may read from."""
     primary = next(iter(services.values()))
 
     class Handler(BaseHTTPRequestHandler):
@@ -758,8 +784,12 @@ def _make_handler(services: Dict[str, object]):
                         self._json(400, {"error": f"invalid JSON body: {exc}"})
                         return
                     path = req.get("checkpoint") if isinstance(req, dict) else None
-                    if not path:
+                    if not path or not isinstance(path, str):
                         self._json(400, {"error": 'body must be {"checkpoint": "<path>"}'})
+                        return
+                    denied = _reload_path_allowed(path, reload_roots)
+                    if denied is not None:
+                        self._json(403, {"error": denied})
                         return
                     if len(services) == 1:
                         svc = primary  # its own kind check gives the clearer error
@@ -1006,7 +1036,8 @@ class ScoringServer:
     """
 
     def __init__(self, scorer=None, host: str = "0.0.0.0", port: int = 8600,
-                 service=None, services: Optional[Dict[str, object]] = None) -> None:
+                 service=None, services: Optional[Dict[str, object]] = None,
+                 reload_roots=None) -> None:
         if services is not None:
             self.services = dict(services)
         else:
@@ -1015,7 +1046,22 @@ class ScoringServer:
         # primary accessor (video first): what serve.py prints and what
         # single-service callers have always used
         self.service = self.services.get("video") or next(iter(self.services.values()))
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.services))
+        # POST /v1/reload may only read files under these resolved roots:
+        # the run dirs of the checkpoints being served, plus whatever the
+        # operator passed (serve.py adds --watch and --reload-root).  A
+        # server built programmatically with no checkpoint paths and no
+        # explicit roots has reload DISABLED (403 with instructions).
+        roots = {
+            Path(r).resolve() for r in (reload_roots or ())
+        } | {
+            Path(cp).resolve().parent
+            for svc in self.services.values()
+            if (cp := getattr(svc, "checkpoint", None))
+        }
+        self.reload_roots = sorted(roots)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.services, self.reload_roots)
+        )
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
@@ -1095,6 +1141,7 @@ def serve_from_checkpoint(
     slot_ttl: Optional[float] = None,
     drift_window: int = 4096,
     drift_factor: float = 5.0,
+    reload_roots=None,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
 
@@ -1149,7 +1196,8 @@ def serve_from_checkpoint(
             ckpt, checkpoint, num_slots, dtype, data_parallel, spatial_parallel,
             drift_window=drift_window, drift_factor=drift_factor,
         )
-        return ScoringServer(host=host, port=port, service=service)
+        return ScoringServer(host=host, port=port, service=service,
+                             reload_roots=reload_roots)
 
     from vad_tpu.core.config import VideoAEConfig
     from vad_tpu.eval.serving import MultiStreamScorer
@@ -1206,4 +1254,5 @@ def serve_from_checkpoint(
             spatial_parallel, drift_window=drift_window,
             drift_factor=drift_factor,
         )
-    return ScoringServer(host=host, port=port, services=services)
+    return ScoringServer(host=host, port=port, services=services,
+                         reload_roots=reload_roots)

@@ -8,12 +8,27 @@ as host numpy inside a pickle — the same serialization family torch.save
 uses — written atomically (tmp file + rename) so a crash mid-write never
 corrupts the best checkpoint.
 
+LOADING IS CODE-EXECUTION SAFE.  A bare ``pickle.load`` is an RCE
+primitive (a crafted file runs arbitrary code on load — the reference
+inherits exactly this via ``torch.load``, evaluate.py:31), which is
+unacceptable on a serving daemon that hot-reloads files named by
+clients (``POST /v1/reload``) or found on disk (``serve.py --watch``).
+``load_checkpoint`` therefore deserializes through a restricted
+Unpickler that resolves ONLY the globals a real checkpoint needs:
+numpy array reconstruction and the optax optimizer-state namedtuples.
+Anything else (``os.system``, ``subprocess``, ``builtins.eval``, any
+``__reduce__`` payload) raises ``pickle.UnpicklingError`` before a
+byte of it is interpreted.  Old checkpoints load unchanged — they only
+ever contained these types — so back-compat is total.
+
 True resume is supported (the reference saves optimizer state but never
 restores it — SURVEY §5.4): `load_checkpoint` returns opt_state intact.
 """
 
 from __future__ import annotations
 
+import importlib
+import io
 import pickle
 import re
 from pathlib import Path
@@ -23,6 +38,42 @@ import jax
 import numpy as np
 
 CHECKPOINT_SUFFIX = ".ckpt"
+
+# (module, name) pairs a checkpoint pickle may resolve.  Everything here
+# is data reconstruction: numpy's array/scalar rebuilders and the optax
+# state namedtuples (plain tuples with field names — constructing one
+# executes no user code).  numpy<2 spells its private modules
+# ``numpy.core``; numpy>=2 spells them ``numpy._core`` — both are
+# allowed so checkpoints written under either load under either.
+_SAFE_GLOBALS = {
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.numeric", "_frombuffer"),
+    # optax optimizer-state namedtuples (train/state.py's chain):
+    # add_decayed_weights -> EmptyState, scale_by_adam -> ScaleByAdamState,
+    # inject_hyperparams wrapper state (name moved across optax versions)
+    ("optax._src.base", "EmptyState"),
+    ("optax._src.transform", "ScaleByAdamState"),
+    ("optax._src.inject", "InjectHyperparamsState"),
+    ("optax.schedules._inject", "InjectHyperparamsState"),
+    ("optax.schedules._inject", "InjectStatefulHyperparamsState"),
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module: str, name: str):  # noqa: D102
+        if (module, name) not in _SAFE_GLOBALS:
+            raise pickle.UnpicklingError(
+                f"checkpoint references disallowed global {module}.{name}; "
+                f"refusing to load (checkpoints may only contain numpy "
+                f"arrays, optax states, and plain python data)"
+            )
+        return getattr(importlib.import_module(module), name)
 
 
 def _to_host(tree: Any) -> Any:
@@ -44,8 +95,18 @@ def save_checkpoint(path: str | Path, payload: Dict[str, Any]) -> Path:
 
 
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
+    """Deserialize a checkpoint WITHOUT the ability to execute code.
+
+    See the module docstring: only numpy / optax-state / builtin data
+    globals resolve; a crafted pickle raises ``pickle.UnpicklingError``
+    instead of running its payload."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _RestrictedUnpickler(f).load()
+
+
+def load_checkpoint_bytes(data: bytes) -> Dict[str, Any]:
+    """`load_checkpoint` over an in-memory buffer (same restrictions)."""
+    return _RestrictedUnpickler(io.BytesIO(data)).load()
 
 
 def rotate_epoch_checkpoints(results_dir: str | Path, keep: int) -> int:
