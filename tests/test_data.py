@@ -177,6 +177,33 @@ class TestVideoDatasets:
         cache.close()
         assert cache.open_handles() == 0
 
+    def test_frame_cache_concurrent_build_matches_serial_decode(self, tmp_path):
+        """Cache construction decodes sources concurrently (one thread per
+        source, per-thread capture stores). On an 8-video dataset every
+        cached window must equal the uncached per-window decode."""
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+
+        good = tmp_path / "cat" / "train" / "good"
+        good.mkdir(parents=True)
+        for i in range(8):
+            create_synthetic_video_file(
+                str(good / f"v{i}.mp4"), n_frames=12, image_size=64, seed=i
+            )
+        cached = VideoDataset(
+            str(tmp_path), "cat", "train", sequence_length=4, stride=4, image_size=64
+        )
+        assert len(cached._cache) == 8  # all sources decoded up front
+        uncached = VideoDataset(
+            str(tmp_path), "cat", "train", sequence_length=4, stride=4,
+            image_size=64, cache_frames=False,
+        )
+        assert not uncached._cache
+        assert len(cached) == len(uncached) == 8 * 3  # (12-4)/4+1 per video
+        for i in range(len(cached)):
+            np.testing.assert_array_equal(
+                cached[i]["frames"], uncached[i]["frames"]
+            )
+
     def test_sequential_read_consistency(self, tmp_path):
         """Cached sequential decode must agree with fresh seeks."""
         from vad_tpu.data.synthetic import create_synthetic_video_file

@@ -188,16 +188,28 @@ class _WindowDataset:
         return int(os.environ.get("VAD_FRAME_CACHE_BYTES", 4 * 1024**3))
 
     def _build_frame_cache(self) -> None:
-        """Decode every distinct source once into uint8 [N, H, W, 3]."""
+        """Decode every distinct source once into uint8 [N, H, W, 3].
+
+        Sources decode concurrently (cv2 and image codecs release the GIL),
+        so startup on a many-video dataset scales with host cores instead of
+        serializing one VideoCapture at a time; per-source frame totals are
+        computed in one pass over the window list rather than an O(windows)
+        ``max()`` scan per source.
+        """
         if not self.cache_frames or not self.windows:
             return
-        sources = {w.source for w in self.windows}
-        total_frames = 0
-        for src in sources:
-            if isinstance(src, str):
-                total_frames += max(w.start for w in self.windows if w.source == src) + self.sequence_length
+        import os
+
+        # one pass: frames needed per source = furthest window start + T
+        per_source_frames: Dict[Union[str, Tuple[str, ...]], int] = {}
+        for w in self.windows:
+            if isinstance(w.source, str):
+                need = w.start + self.sequence_length
+                if need > per_source_frames.get(w.source, 0):
+                    per_source_frames[w.source] = need
             else:
-                total_frames += len(src)
+                per_source_frames.setdefault(w.source, len(w.source))
+        total_frames = sum(per_source_frames.values())
         if total_frames * self.image_size * self.image_size * 3 > self._cache_limit_bytes():
             self.cache_frames = False
             return
@@ -205,8 +217,7 @@ class _WindowDataset:
 
         def decode_source(src):
             if isinstance(src, str):
-                n = max(w.start for w in self.windows if w.source == src) + self.sequence_length
-                raw = self._caps.read_window(src, 0, n)
+                raw = self._caps.read_window(src, 0, per_source_frames[src])
                 arr = np.stack(
                     [
                         f
@@ -218,13 +229,21 @@ class _WindowDataset:
                 )
             else:
                 with ThreadPoolExecutor(max_workers=4) as pool:
-                    arrs = list(pool.map(lambda p: _load_u8(p, self.image_size), src))
-                arr = np.stack(arrs)
+                    arr = np.stack(list(pool.map(lambda p: _load_u8(p, self.image_size), src)))
             return src, arr
 
-        for src in sources:
-            key, arr = decode_source(src)
-            self._cache[key] = arr
+        sources = list(per_source_frames)
+        workers = min(len(sources), max(os.cpu_count() or 1, 1), 8)
+        if workers <= 1:
+            for src in sources:
+                key, arr = decode_source(src)
+                self._cache[key] = arr
+        else:
+            # _CaptureCache keeps per-thread capture stores, so concurrent
+            # decode_source calls never share a cv2.VideoCapture handle
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for key, arr in pool.map(decode_source, sources):
+                    self._cache[key] = arr
 
     def __len__(self) -> int:
         return len(self.windows)
