@@ -1,6 +1,8 @@
 """Per-host sharded input feeding (parallel/multihost.py) on the
-8-virtual-device CPU mesh (single process; multi-process paths are
-exercised via explicit process_count/process_index arguments)."""
+8-virtual-device CPU mesh — single process, with the slicing math
+exercised via explicit process_count/process_index arguments.  The
+REAL multi-process paths (jax.distributed.initialize + Gloo) execute
+in tests/test_multiprocess.py."""
 
 import jax
 import jax.numpy as jnp
