@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drift-factor", type=float, default=5.0,
                    help="Declare drift when the observed exceedance rate is "
                         "this many times the calibrated contract")
+    p.add_argument("--latent-stats", type=str, default=None, metavar="NPZ",
+                   help="Serve /v1/images through the latent-distance "
+                        "(Mahalanobis) scorer using these fitted statistics "
+                        "(written by evaluate.py --scorer latent as "
+                        "latent_stats.npz). The stats must be fitted on the "
+                        "served image checkpoint's weights; /v1/reload then "
+                        "requires a matching new latent_stats path in its "
+                        "body, and --watch auto-reloads are refused (stale "
+                        "statistics over new weights would score garbage)")
     p.add_argument("--reload-root", type=str, action="append", default=None,
                    metavar="DIR",
                    help="Additional directory POST /v1/reload may load "
@@ -91,6 +100,12 @@ def main() -> None:
                      "(fused servers do not support hot reload)")
     from vad_tpu.eval.http_server import serve_from_checkpoint
 
+    if args.watch and args.latent_stats:
+        # the watcher cannot fit new statistics; auto-deploying weights
+        # under a latent scorer would be refused on every poll
+        parser.error("--watch cannot be combined with --latent-stats "
+                     "(reload a latent server explicitly via /v1/reload "
+                     "with a freshly fitted latent_stats path)")
     reload_roots = list(args.reload_root or [])
     if args.watch:
         reload_roots.append(args.watch)
@@ -100,13 +115,13 @@ def main() -> None:
         data_parallel=args.data_parallel, spatial_parallel=args.spatial,
         image_checkpoint=args.image_checkpoint, slot_ttl=args.slot_ttl,
         drift_window=args.drift_window, drift_factor=args.drift_factor,
-        reload_roots=reload_roots,
+        reload_roots=reload_roots, latent_stats=args.latent_stats,
     )
     h = server.service.health()
     if h["model_type"] == "video":
         desc = f"{h['num_slots']} slots x {h['chunk']}-frame chunks"
     else:
-        desc = f"image batches up to {h['batch']}"
+        desc = f"image batches up to {h['batch']}, {h['scorer']} scorer"
     if args.image_checkpoint:
         desc += f" + image model {args.image_checkpoint}"
     print(f"Serving {args.checkpoint} on {args.host}:{server.port} ({desc}, {h['dtype']})")

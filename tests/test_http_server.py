@@ -179,6 +179,126 @@ def test_image_model_serving():
         srv.close()
 
 
+def test_latent_scorer_serving(tmp_path):
+    """serve.py --latent-stats: /v1/images scores through the Mahalanobis
+    latent-distance path (eval/latent_score.py), health names the active
+    scorer, and hot reload demands new statistics fitted on the new
+    weights (refusing a weights-only reload that would silently serve
+    stale statistics)."""
+    from vad_tpu.eval.http_server import ImageScoringService, ScoringServer
+    from vad_tpu.eval.latent_score import (
+        fit_latent_stats,
+        make_distance_fn,
+        save_stats,
+        stats_state,
+    )
+    from vad_tpu.models.autoencoder import ConvAutoencoder
+    from vad_tpu.utils.checkpoint import save_checkpoint
+
+    model = ConvAutoencoder(latent_dim=64)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+
+    def pyramid_fn(v, x):
+        return model.apply(v, x, method=ConvAutoencoder.feature_pyramid)
+
+    rng = np.random.default_rng(7)
+    normal_u8 = rng.integers(0, 255, size=(8, SIZE, SIZE, 3), dtype=np.uint8)
+    fit_x = normal_u8.astype(np.float32) / 127.5 - 1.0
+    stats = fit_latent_stats(
+        pyramid_fn, variables, [fit_x[:4], fit_x[4:]], proj_dim=16
+    )
+    stats_path = tmp_path / "latent_stats.npz"
+    save_stats(stats_path, stats)
+
+    service = ImageScoringService(
+        model, variables, SIZE, batch=4, dtype=jnp.float32,
+        latent_stats=str(stats_path),
+    )
+    srv = ScoringServer(service=service, host="127.0.0.1", port=0,
+                        reload_roots=[tmp_path])
+    srv.start_background()
+    try:
+        status, h = _req(srv, "GET", "/v1/health")
+        assert status == 200 and h["scorer"] == "latent"
+        assert h["latent"]["grid"] == stats.grid
+        assert h["latent"]["dim"] == stats.dim
+        assert h["latent"]["n_fit"] == stats.n_fit
+        # no calibrated threshold: the checkpoint threshold is a recon
+        # quantile, meaningless on the latent-distance scale
+        assert h["score_threshold"] is None
+
+        imgs = rng.integers(0, 255, size=(3, SIZE, SIZE, 3), dtype=np.uint8)
+        status, r = _req(srv, "POST", "/v1/images", body=imgs.tobytes(),
+                         headers={"X-Frames-Shape": f"3,{SIZE},{SIZE},3"})
+        assert status == 200 and len(r["scores"]) == 3
+        assert "threshold" not in r
+        # parity with the eval CLI's definition: mean of the Mahalanobis
+        # map from make_distance_fn over the normalized image
+        dfn = make_distance_fn(pyramid_fn, stats.layers, stats.grid)
+        x = jnp.asarray(imgs, jnp.float32) / 127.5 - 1.0
+        maps = dfn(variables, stats_state(stats), x)
+        want = np.asarray(jnp.mean(maps.reshape(3, -1), axis=1))
+        np.testing.assert_allclose(r["scores"], want, rtol=1e-4, atol=1e-6)
+
+        # weights-only reload refused while the latent scorer is active
+        ckpt = tmp_path / "best_model.ckpt"
+        save_checkpoint(ckpt, {
+            "model_type": "image", "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+            "args": {"image_size": SIZE, "latent_dim": 64},
+        })
+        status, r = _req(srv, "POST", "/v1/reload",
+                         body=json.dumps({"checkpoint": str(ckpt)}))
+        assert status == 400 and "latent_stats" in r["error"]
+
+        # reload with matching new statistics succeeds and keeps scoring
+        status, r = _req(srv, "POST", "/v1/reload", body=json.dumps({
+            "checkpoint": str(ckpt), "latent_stats": str(stats_path),
+        }))
+        assert status == 200 and r["model_type"] == "image"
+        status, r = _req(srv, "POST", "/v1/images", body=imgs.tobytes(),
+                         headers={"X-Frames-Shape": f"3,{SIZE},{SIZE},3"})
+        assert status == 200
+        np.testing.assert_allclose(r["scores"], want, rtol=1e-4, atol=1e-6)
+
+        # geometry-mismatched statistics are refused (grid/dim must match
+        # the compiled step)
+        other = fit_latent_stats(
+            pyramid_fn, variables, [fit_x[:4]], proj_dim=8
+        )
+        other_path = tmp_path / "other_stats.npz"
+        save_stats(other_path, other)
+        status, r = _req(srv, "POST", "/v1/reload", body=json.dumps({
+            "checkpoint": str(ckpt), "latent_stats": str(other_path),
+        }))
+        assert status == 400 and "does not match" in r["error"]
+
+        # the stats path is fenced by the same reload roots as checkpoints
+        status, r = _req(srv, "POST", "/v1/reload", body=json.dumps({
+            "checkpoint": str(ckpt), "latent_stats": "/etc/passwd",
+        }))
+        assert status == 403
+    finally:
+        srv.close()
+
+    # a recon server rejects latent_stats on reload with a clear message
+    service2 = ImageScoringService(model, variables, SIZE, batch=4,
+                                   dtype=jnp.float32)
+    srv2 = ScoringServer(service=service2, host="127.0.0.1", port=0,
+                         reload_roots=[tmp_path])
+    srv2.start_background()
+    try:
+        status, h = _req(srv2, "GET", "/v1/health")
+        assert status == 200 and h["scorer"] == "recon"
+        status, r = _req(srv2, "POST", "/v1/reload", body=json.dumps({
+            "checkpoint": str(tmp_path / "best_model.ckpt"),
+            "latent_stats": str(tmp_path / "latent_stats.npz"),
+        }))
+        assert status == 400 and "--latent-stats" in r["error"]
+    finally:
+        srv2.close()
+
+
 def test_hot_reload_video(server, tmp_path):
     """POST /v1/reload swaps weights in place: attached slots survive, the
     next chunk scores under the NEW weights (differs from the old scores),

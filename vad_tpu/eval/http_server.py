@@ -211,13 +211,27 @@ class ImageScoringService:
     edge (same design as MultiStreamScorer's spatial mode; for the
     stateless image model there is no recurrence, so GSPMD handles the
     whole step).  Requires H and H/16 divisible by the 'model' size.
+
+    ``latent_stats``: path to a fitted ``latent_stats.npz`` (written by
+    ``evaluate.py --scorer latent``, eval/latent_score.py) or a loaded
+    `LatentStats`.  When given, /v1/images scores through the
+    Mahalanobis latent-distance path instead of reconstruction error:
+    the image score is the MEAN of the per-position distance map (the
+    same reduction the eval CLI's default score_mode applies).  The
+    fitted statistics are threaded through the jitted step as a runtime
+    argument (latent_score.stats_state explains why), and they belong
+    to the specific weights they were fitted on — so a hot reload must
+    supply matching new statistics (see `reload`).  ``--dtype float32``
+    reproduces the eval CLI's scores exactly; bfloat16 serves the same
+    detector with small feature-precision shifts.
     """
 
     kind = "image"
 
     def __init__(self, model, variables, image_size: int, batch: int = 32,
                  dtype=None, mesh=None, spatial: bool = False,
-                 drift_window: int = 4096, drift_factor: float = 5.0) -> None:
+                 drift_window: int = 4096, drift_factor: float = 5.0,
+                 latent_stats=None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -232,6 +246,24 @@ class ImageScoringService:
         variables = cast_floating(variables, dtype) if dtype != jnp.float32 else variables
         if spatial and mesh is None:
             raise ValueError("spatial=True requires a mesh")
+        if latent_stats is not None and spatial:
+            # the distance map lives on the fit's G x G grid, not image
+            # rows; row-partitioning the pyramid_embed reshape would make
+            # GSPMD gather the full embedding anyway
+            raise ValueError("the latent scorer does not support spatial "
+                             "partitioning; use --data-parallel")
+        self._latent = None
+        if latent_stats is not None:
+            from vad_tpu.eval.latent_score import LatentStats, load_stats
+
+            stats = (latent_stats if isinstance(latent_stats, LatentStats)
+                     else load_stats(latent_stats))
+            self._latent = {
+                "grid": stats.grid, "dim": stats.dim,
+                "layers": tuple(stats.layers), "n_fit": stats.n_fit,
+                "path": (None if isinstance(latent_stats, LatentStats)
+                         else str(latent_stats)),
+            }
         if mesh is not None:
             from vad_tpu.parallel.sharding import (
                 MODEL_AXIS,
@@ -250,11 +282,29 @@ class ImageScoringService:
             variables = jax.device_put(variables, replicate_sharding(mesh))
         self.batch = batch
 
-        def score(v, u8):
-            x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
-            return model.apply(
-                v, x, method=ConvAutoencoder.reconstruction_error
-            ).astype(jnp.float32)
+        if self._latent is not None:
+            from vad_tpu.eval.latent_score import make_distance_fn, stats_state
+
+            def pyramid_fn(v, x):
+                return model.apply(v, x, method=ConvAutoencoder.feature_pyramid)
+
+            dfn = make_distance_fn(pyramid_fn, stats.layers, stats.grid)
+            self._state = stats_state(stats)
+
+            def score(vs, u8):
+                v, state = vs
+                x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+                maps = dfn(v, state, x)  # [B, G, G] f32
+                return jnp.mean(maps.reshape(maps.shape[0], -1), axis=1)
+        else:
+            self._state = None
+
+            def score(vs, u8):
+                v, _ = vs
+                x = u8.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+                return model.apply(
+                    v, x, method=ConvAutoencoder.reconstruction_error
+                ).astype(jnp.float32)
 
         if spatial:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -273,6 +323,10 @@ class ImageScoringService:
             from vad_tpu.parallel.sharding import data_parallel_jit
 
             self._score = data_parallel_jit(score, mesh)
+        if mesh is not None and self._state is not None:
+            from vad_tpu.parallel.sharding import replicate_sharding
+
+            self._state = jax.device_put(self._state, replicate_sharding(mesh))
         self._variables = variables
         self._lock = threading.Lock()
         self.metrics = ServiceMetrics()
@@ -283,7 +337,8 @@ class ImageScoringService:
             if drift_window else None
         )
         # warm-up compile
-        self._score(variables, np.zeros((batch, image_size, image_size, 3), np.uint8))
+        self._score((variables, self._state),
+                    np.zeros((batch, image_size, image_size, 3), np.uint8))
 
     # chunking cap: one request may hold the device lock for at most this
     # many compiled steps; larger requests get a 4xx and should be split
@@ -330,7 +385,7 @@ class ImageScoringService:
                     padded = np.zeros((self.batch, *expect), np.uint8)
                     padded[: part.shape[0]] = part
                 t0 = time.time()
-                scores = self._score(self._variables, padded)
+                scores = self._score((self._variables, self._state), padded)
                 out[lo : lo + part.shape[0]] = np.asarray(
                     scores[: part.shape[0]], np.float64
                 )
@@ -357,13 +412,22 @@ class ImageScoringService:
             }
         return snap
 
-    def reload(self, checkpoint: str, ckpt: Optional[dict] = None) -> None:
+    def reload(self, checkpoint: str, ckpt: Optional[dict] = None,
+               latent_stats: Optional[str] = None) -> None:
         """Hot-swap the served weights from a checkpoint on disk
         (POST /v1/reload).  Same architecture AND resolution -> the
         compiled step is reused (structural + image_size checks);
         in-flight requests finish on the old weights, the next device
         step sees the new ones.  ``ckpt``: pass the already-loaded dict
-        to skip a second deserialize (dual-server routing peeks it)."""
+        to skip a second deserialize (dual-server routing peeks it).
+
+        When the latent scorer is active the fitted statistics belong to
+        the OLD encoder weights, so the reload must carry a
+        ``latent_stats`` npz fitted against the new checkpoint (the eval
+        CLI writes one next to its artifacts); its grid/dim/layers must
+        match the serving fit so the compiled step's shapes hold.
+        Refused otherwise — silently serving stale statistics over new
+        weights would score garbage while looking healthy."""
         import jax
 
         from vad_tpu.utils.checkpoint import load_checkpoint
@@ -376,21 +440,61 @@ class ImageScoringService:
                 "not an image checkpoint; this server serves the image model"
             )
         check_served_image_size(ckpt.get("args") or {}, self.image_size)
+        new_state = self._state
+        if self._latent is not None:
+            if latent_stats is None:
+                raise ValueError(
+                    "latent scorer active: the fitted statistics belong to "
+                    "the currently served weights, so /v1/reload must "
+                    'include {"latent_stats": "<npz fitted on the new '
+                    'checkpoint>"} (evaluate.py --scorer latent writes one)'
+                )
+            from vad_tpu.eval.latent_score import load_stats, stats_state
+
+            stats = load_stats(latent_stats)
+            want = (self._latent["grid"], self._latent["dim"],
+                    self._latent["layers"])
+            got = (stats.grid, stats.dim, tuple(stats.layers))
+            if got != want:
+                raise ValueError(
+                    f"latent_stats (grid, dim, layers) {got} does not match "
+                    f"the serving fit {want}; restart the server to change "
+                    "the scorer geometry"
+                )
+            new_state = stats_state(stats)
+        elif latent_stats is not None:
+            raise ValueError(
+                "this server scores by reconstruction; start it with "
+                "--latent-stats to serve the latent scorer"
+            )
         variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
         new = checked_cast_like(variables, self._variables, self.dtype)
         if self.mesh is not None:
             from vad_tpu.parallel.sharding import replicate_sharding
 
             new = jax.device_put(new, replicate_sharding(self.mesh))
+            if self._latent is not None:
+                new_state = jax.device_put(new_state, replicate_sharding(self.mesh))
         with self._lock:
             self._variables = new
+            self._state = new_state
             self.checkpoint = str(checkpoint)
-            self.score_threshold = ckpt.get("score_threshold")
+            # the checkpoint's calibrated threshold is a reconstruction-
+            # score quantile; it does not apply to latent distances
+            self.score_threshold = (
+                None if self._latent is not None else ckpt.get("score_threshold")
+            )
+            if self._latent is not None and latent_stats is not None:
+                self._latent.update(
+                    {"path": str(latent_stats), "n_fit": stats.n_fit}
+                )
         if self.drift is not None:
             # new weights = new score scale; re-anchor the monitor's
             # contract (the window itself is kept — it ages out quickly)
-            self.drift.recalibrate(self.score_threshold,
-                                   _serving_score_baseline(ckpt))
+            self.drift.recalibrate(
+                self.score_threshold,
+                None if self._latent is not None else _serving_score_baseline(ckpt),
+            )
 
     def close(self) -> None:
         pass
@@ -398,15 +502,19 @@ class ImageScoringService:
     def health(self) -> dict:
         from vad_tpu.utils.profiling import device_memory_report
 
-        return {
+        h = {
             "model_type": "image",
             "batch": self.batch,
             "image_size": self.image_size,
             "dtype": str(self.dtype),
             "checkpoint": getattr(self, "checkpoint", None),
             "score_threshold": self.score_threshold,
+            "scorer": "latent" if self._latent is not None else "recon",
             "hbm": device_memory_report(),
         }
+        if self._latent is not None:
+            h["latent"] = dict(self._latent)
+        return h
 
 
 def _serving_score_baseline(ckpt: dict) -> Optional[dict]:
@@ -791,16 +899,39 @@ def _make_handler(services: Dict[str, object], reload_roots=()):
                     if denied is not None:
                         self._json(403, {"error": denied})
                         return
+                    # optional new fitted statistics for a latent-scoring
+                    # image service; a disk path too, so same fence
+                    stats_path = req.get("latent_stats")
+                    if stats_path is not None:
+                        if not isinstance(stats_path, str):
+                            self._json(400, {"error": "latent_stats must be a path string"})
+                            return
+                        denied = _reload_path_allowed(stats_path, reload_roots)
+                        if denied is not None:
+                            self._json(403, {"error": denied})
+                            return
                     if len(services) == 1:
                         svc = primary  # its own kind check gives the clearer error
-                        svc.reload(path)
+                        if svc.kind == "image":
+                            svc.reload(path, latent_stats=stats_path)
+                        elif stats_path is not None:
+                            self._json(400, {"error": "latent_stats applies to the image model only"})
+                            return
+                        else:
+                            svc.reload(path)
                     else:
                         from vad_tpu.utils.checkpoint import load_checkpoint
 
                         ckpt = load_checkpoint(path)  # loaded once, passed through
                         kind = "image" if ckpt.get("model_type") == "image" else "video"
                         svc = services[kind]
-                        svc.reload(path, ckpt=ckpt)
+                        if kind == "image":
+                            svc.reload(path, ckpt=ckpt, latent_stats=stats_path)
+                        elif stats_path is not None:
+                            self._json(400, {"error": "latent_stats applies to the image model only"})
+                            return
+                        else:
+                            svc.reload(path, ckpt=ckpt)
                     self._json(200, {"reloaded": path, "model_type": svc.kind})
                     return
                 if self.path == "/v1/images":
@@ -1065,9 +1196,12 @@ class ScoringServer:
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
-    def reload(self, checkpoint: str) -> str:
+    def reload(self, checkpoint: str, latent_stats: Optional[str] = None) -> str:
         """Route a checkpoint to the service of its kind (CheckpointWatcher
-        target on dual-model servers); returns the kind reloaded."""
+        target on dual-model servers); returns the kind reloaded.
+        ``latent_stats``: new fitted statistics for an image service
+        running the latent scorer (required by it — see
+        ImageScoringService.reload)."""
         from vad_tpu.utils.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(checkpoint)  # loaded once, passed through
@@ -1075,7 +1209,12 @@ class ScoringServer:
         svc = self.services.get(kind)
         if svc is None:
             raise ValueError(f"no {kind} model is being served")
-        svc.reload(checkpoint, ckpt=ckpt)
+        if kind == "image":
+            svc.reload(checkpoint, ckpt=ckpt, latent_stats=latent_stats)
+        elif latent_stats is not None:
+            raise ValueError("latent_stats applies to the image model only")
+        else:
+            svc.reload(checkpoint, ckpt=ckpt)
         return kind
 
     def start_background(self) -> None:
@@ -1096,7 +1235,8 @@ class ScoringServer:
 
 def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
                              data_parallel, spatial_parallel,
-                             drift_window=4096, drift_factor=5.0):
+                             drift_window=4096, drift_factor=5.0,
+                             latent_stats=None):
     """Build an ImageScoringService from a loaded image checkpoint."""
     import jax.numpy as jnp
 
@@ -1118,12 +1258,19 @@ def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
         imodel, ivars, icfg.image_size, batch=batch, dtype=getattr(jnp, dtype),
         mesh=imesh, spatial=spatial,
         drift_window=drift_window, drift_factor=drift_factor,
+        latent_stats=latent_stats,
     )
     service.checkpoint = str(checkpoint)
-    service.score_threshold = ckpt.get("score_threshold")
+    # the calibrated threshold is a reconstruction-score quantile; latent
+    # distances live on a different scale
+    service.score_threshold = (
+        None if latent_stats is not None else ckpt.get("score_threshold")
+    )
     if service.drift is not None:
-        service.drift.recalibrate(service.score_threshold,
-                                  _serving_score_baseline(ckpt))
+        service.drift.recalibrate(
+            service.score_threshold,
+            None if latent_stats is not None else _serving_score_baseline(ckpt),
+        )
     return service
 
 
@@ -1142,8 +1289,13 @@ def serve_from_checkpoint(
     drift_window: int = 4096,
     drift_factor: float = 5.0,
     reload_roots=None,
+    latent_stats: Optional[str] = None,
 ) -> ScoringServer:
     """Build a ScoringServer from a checkpoint (ours or torch-imported).
+
+    ``latent_stats``: serve /v1/images through the latent-distance
+    (Mahalanobis) scorer using this fitted npz (see ImageScoringService);
+    applies to whichever image model the daemon serves.
 
     Video checkpoints get the coalescing multi-stream service; image
     checkpoints get the stateless batched image service (``num_slots``
@@ -1195,6 +1347,7 @@ def serve_from_checkpoint(
         service = _image_service_from_ckpt(
             ckpt, checkpoint, num_slots, dtype, data_parallel, spatial_parallel,
             drift_window=drift_window, drift_factor=drift_factor,
+            latent_stats=latent_stats,
         )
         return ScoringServer(host=host, port=port, service=service,
                              reload_roots=reload_roots)
@@ -1252,7 +1405,12 @@ def serve_from_checkpoint(
         services["image"] = _image_service_from_ckpt(
             ickpt, image_checkpoint, num_slots, dtype, data_parallel,
             spatial_parallel, drift_window=drift_window,
-            drift_factor=drift_factor,
+            drift_factor=drift_factor, latent_stats=latent_stats,
+        )
+    elif latent_stats is not None:
+        raise ValueError(
+            "--latent-stats applies to the image model; this daemon serves "
+            "only a video checkpoint (add --image-checkpoint)"
         )
     return ScoringServer(host=host, port=port, services=services,
                          reload_roots=reload_roots)
