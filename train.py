@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--norm", type=str, default="batch", choices=["batch", "group"],
                         help="Normalization: batch (reference parity) or group "
                              "(per-sample stats; immune to padded small batches)")
+    parser.add_argument("--stem", type=str, default="pool", choices=["pool", "stride2"],
+                        help="Encoder downsampling: pool (reference parity: "
+                             "conv+conv+2x2 max-pool per block) or stride2 "
+                             "(TPU-first: the first conv of each block runs "
+                             "with stride 2 — same parameter count, the "
+                             "full-resolution intermediate is never "
+                             "materialized and the pool backward disappears; "
+                             "measured numbers in COMPONENTS.md)")
     parser.add_argument("--model-parallel", type=int, default=1,
                         help="Tensor-parallel mesh axis size (devices split "
                              "into data x model; 1 = pure data parallelism)")

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--norm", type=str, default="batch", choices=["batch", "group"],
                         help="Normalization: batch (reference parity) or group "
                              "(per-sample stats; immune to padded small batches)")
+    parser.add_argument("--stem", type=str, default="pool", choices=["pool", "stride2"],
+                        help="Encoder downsampling: pool (reference parity: "
+                             "conv+2x2 max-pool per block) or stride2 "
+                             "(TPU-first: stride-2 convs — same parameter "
+                             "count, no full-resolution intermediate, no "
+                             "pool backward; measured numbers in COMPONENTS.md)")
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint to resume training from")
     parser.add_argument("--model-parallel", type=int, default=1,

@@ -29,6 +29,7 @@ class ImageAEConfig:
     latent_dim: int = 256
     image_size: int = 256
     norm: str = "batch"  # 'group': per-sample stats (models/norms.py)
+    stem: str = "pool"  # 'stride2': TPU-first downsampling (models/autoencoder.py)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -40,6 +41,7 @@ class ImageAEConfig:
             latent_dim=int(args.get("latent_dim", 256)),
             image_size=int(args.get("image_size", 256)),
             norm=str(args.get("norm", "batch")),
+            stem=str(args.get("stem", "pool")),
         )
 
 
@@ -60,6 +62,7 @@ class VideoAEConfig:
     image_size: int = 256
     sequence_length: int = 16
     norm: str = "batch"  # 'group': per-sample stats (models/norms.py)
+    stem: str = "pool"  # 'stride2': TPU-first downsampling (models/video_autoencoder.py)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -74,4 +77,5 @@ class VideoAEConfig:
             image_size=int(args.get("image_size", 256)),
             sequence_length=int(args.get("sequence_length", 16)),
             norm=str(args.get("norm", "batch")),
+            stem=str(args.get("stem", "pool")),
         )

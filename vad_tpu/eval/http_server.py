@@ -243,6 +243,7 @@ class ImageScoringService:
         self.dtype = dtype
         self.mesh = mesh
         self.spatial = spatial
+        self.stem = getattr(model, "stem", "pool")
         variables = cast_floating(variables, dtype) if dtype != jnp.float32 else variables
         if spatial and mesh is None:
             raise ValueError("spatial=True requires a mesh")
@@ -431,7 +432,11 @@ class ImageScoringService:
         import jax
 
         from vad_tpu.utils.checkpoint import load_checkpoint
-        from vad_tpu.utils.precision import check_served_image_size, checked_cast_like
+        from vad_tpu.utils.precision import (
+            check_served_image_size,
+            check_served_stem,
+            checked_cast_like,
+        )
 
         if ckpt is None:
             ckpt = load_checkpoint(checkpoint)
@@ -440,6 +445,7 @@ class ImageScoringService:
                 "not an image checkpoint; this server serves the image model"
             )
         check_served_image_size(ckpt.get("args") or {}, self.image_size)
+        check_served_stem(ckpt.get("args") or {}, self.stem)
         new_state = self._state
         if self._latent is not None:
             if latent_stats is None:
@@ -734,7 +740,7 @@ class ScoringService:
         server restart and drops no streams.  ``ckpt``: pass the
         already-loaded dict to skip a second deserialize."""
         from vad_tpu.utils.checkpoint import load_checkpoint
-        from vad_tpu.utils.precision import check_served_image_size
+        from vad_tpu.utils.precision import check_served_image_size, check_served_stem
 
         if ckpt is None:
             ckpt = load_checkpoint(checkpoint)
@@ -744,6 +750,8 @@ class ScoringService:
                 "server serves the video model"
             )
         check_served_image_size(ckpt.get("args") or {}, self.scorer.image_size)
+        check_served_stem(ckpt.get("args") or {},
+                          getattr(self.scorer.model, "stem", "pool"))
         variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
         # metadata swaps under the same lock as the weights so a scoring
         # tick never pairs new weights with the old threshold (or vice
@@ -1246,7 +1254,8 @@ def _image_service_from_ckpt(ckpt, checkpoint, batch, dtype,
     spatial = int(spatial_parallel or 1) > 1
     icfg = ImageAEConfig.from_args(ckpt.get("args", {}))
     imodel = ConvAutoencoder(
-        in_channels=icfg.in_channels, latent_dim=icfg.latent_dim, norm=icfg.norm
+        in_channels=icfg.in_channels, latent_dim=icfg.latent_dim, norm=icfg.norm,
+        stem=icfg.stem,
     )
     ivars = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     imesh = None
@@ -1373,6 +1382,12 @@ def serve_from_checkpoint(
     backend = preferred_backend(lat, lat, cfg.lstm_hidden_dim)
     if spatial:
         backend = "xla"  # Pallas recurrence is opaque to the SPMD partitioner
+    if fused_input and cfg.stem != "pool":
+        raise ValueError(
+            "--fused-input folds conv1+max-pool into one Pallas kernel; "
+            f"this checkpoint uses the '{cfg.stem}' stem which has no pool "
+            "(and no full-res intermediate to fuse away — serve it plain)"
+        )
     model = VideoAutoencoder(
         in_channels=cfg.in_channels,
         latent_dim=cfg.latent_dim,
@@ -1380,6 +1395,7 @@ def serve_from_checkpoint(
         lstm_layers=cfg.lstm_layers,
         backend=backend,
         norm=cfg.norm,
+        stem=cfg.stem,
     )
     variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     scorer = MultiStreamScorer(

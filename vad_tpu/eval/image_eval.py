@@ -37,7 +37,8 @@ def load_image_model(checkpoint_path: str | Path) -> Tuple[ConvAutoencoder, Dict
     train_args = ckpt.get("args", {})
     cfg = ImageAEConfig.from_args(train_args)
     model = ConvAutoencoder(
-        in_channels=cfg.in_channels, latent_dim=cfg.latent_dim, norm=cfg.norm
+        in_channels=cfg.in_channels, latent_dim=cfg.latent_dim, norm=cfg.norm,
+        stem=cfg.stem,
     )
     variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     epoch = ckpt.get("epoch", "unknown")

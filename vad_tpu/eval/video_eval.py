@@ -107,6 +107,7 @@ def load_video_model(checkpoint_path: str | Path) -> Tuple[VideoAutoencoder, Dic
         lstm_layers=cfg.lstm_layers,
         backend=preferred_backend(lat, lat, cfg.lstm_hidden_dim),
         norm=cfg.norm,
+        stem=cfg.stem,
     )
     variables = {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats") or {}}
     print(f"Loaded model from epoch {ckpt.get('epoch', 'unknown')}")

@@ -35,18 +35,38 @@ class EncoderBlock(nn.Module):
     """Two Conv3x3+BN+LeakyReLU(0.2) stages followed by 2x2 max-pool.
 
     One block halves the spatial dims (reference autoencoder.py:38-79).
+
+    ``stem='stride2'`` is the TPU-first downsampling variant: the FIRST
+    conv runs with stride 2 and the max-pool disappears.  Same parameter
+    shapes and count (both convs stay 3x3 at the same widths), same
+    output shape — but the full-resolution intermediate is never
+    materialized.  The round-3 profiles pinned both measured training/
+    serving floors to exactly that tensor: block1's 6.18 ms forward is a
+    256²x32 padded-layout materialization cost and the 5.7 ms max-pool
+    backward sits at select-and-scatter parity; a stride-2 stem removes
+    both by construction (COMPONENTS.md round-4 table has the measured
+    result).  Opt-in (``--stem stride2``) because it is a different
+    function: checkpoints record it and are NOT interchangeable with the
+    pool variant.
     """
 
     features: int
     norm: str = "batch"
+    stem: str = "pool"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
+        first_strides = (2, 2) if self.stem == "stride2" else (1, 1)
+        x = nn.Conv(
+            self.features, (3, 3), strides=first_strides, padding="SAME",
+            kernel_init=conv_init,
+        )(x)
         x = make_norm(self.norm, train)(x)
         x = nn.leaky_relu(x, negative_slope=0.2)
         x = nn.Conv(self.features, (3, 3), padding="SAME", kernel_init=conv_init)(x)
         x = make_norm(self.norm, train)(x)
+        if self.stem == "stride2":
+            return nn.leaky_relu(x, negative_slope=0.2)
         # pool BEFORE the activation: LeakyReLU(0.2) is strictly monotone,
         # so max-pool commutes with it bitwise — identical outputs,
         # gradients and checkpoints — and the activation then runs on 1/4
@@ -67,6 +87,7 @@ class Encoder(nn.Module):
 
     latent_dim: int = 256
     norm: str = "batch"
+    stem: str = "pool"  # 'stride2': downsample in the first conv (TPU-first)
 
     @property
     def widths(self) -> Sequence[int]:
@@ -82,7 +103,7 @@ class Encoder(nn.Module):
         extra output; parameters and the default path are unchanged."""
         pyramid = []
         for w in self.widths:
-            x = EncoderBlock(w, self.norm)(x, train)
+            x = EncoderBlock(w, self.norm, self.stem)(x, train)
             pyramid.append(x)
         if return_pyramid:
             return x, tuple(pyramid)
@@ -146,9 +167,10 @@ class ConvAutoencoder(nn.Module):
     in_channels: int = 3
     latent_dim: int = 256
     norm: str = "batch"  # 'group' = per-sample stats (models/norms.py)
+    stem: str = "pool"  # 'stride2': see EncoderBlock (decoder unchanged)
 
     def setup(self) -> None:
-        self.encoder = Encoder(self.latent_dim, self.norm)
+        self.encoder = Encoder(self.latent_dim, self.norm, self.stem)
         self.decoder = Decoder(self.in_channels, self.latent_dim, self.norm)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

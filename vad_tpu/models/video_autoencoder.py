@@ -237,6 +237,7 @@ class VideoEncoder(nn.Module):
 
     latent_dim: int = 128
     norm: str = "batch"
+    stem: str = "pool"  # 'stride2': downsample in the conv, no max-pool
 
     @nn.compact
     def __call__(
@@ -251,6 +252,8 @@ class VideoEncoder(nn.Module):
         32-channel output (produced by the fused Pallas input kernel,
         ops/encoder_pallas.py) — run blocks 2-4 only.  Module names are
         pinned explicitly so both entry points address the same params.
+        Only meaningful with the 'pool' stem (the fused kernel computes
+        conv1+pool); stream_step_u8 asserts this.
 
         ``return_pyramid``: also return every block's pooled output (the
         multi-scale per-frame feature maps the latent-distance scorer
@@ -261,21 +264,24 @@ class VideoEncoder(nn.Module):
             b, t = x.shape[:2]
             seq_shape = (b, t)
             x = x.reshape(b * t, *x.shape[2:])
+        strides = (2, 2) if self.stem == "stride2" else (1, 1)
         for i, w in enumerate((32, 64, 128, self.latent_dim)):
             if i == 0 and skip_first_block:
                 continue
             x = nn.Conv(
-                w, (3, 3), padding="SAME", kernel_init=conv_init, name=f"Conv_{i}"
+                w, (3, 3), strides=strides, padding="SAME",
+                kernel_init=conv_init, name=f"Conv_{i}",
             )(x)
             norm_name = ("BatchNorm" if self.norm == "batch" else "GroupNorm") + f"_{i}"
             x = make_norm(self.norm, train, name=norm_name)(x)
-            # pool before the activation: LeakyReLU(0.2) is strictly
-            # monotone, so 2x2 max-pool commutes with it bitwise
-            # (identical outputs/gradients/checkpoints) and the activation
-            # runs on 1/4 the pixels; end-to-end neutral (XLA fuses the
-            # mask either way), kept as strictly-less-work — see
-            # models/autoencoder.py EncoderBlock and tools/profile_train.py
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if self.stem == "pool":
+                # pool before the activation: LeakyReLU(0.2) is strictly
+                # monotone, so 2x2 max-pool commutes with it bitwise
+                # (identical outputs/gradients/checkpoints) and the activation
+                # runs on 1/4 the pixels; end-to-end neutral (XLA fuses the
+                # mask either way), kept as strictly-less-work — see
+                # models/autoencoder.py EncoderBlock and tools/profile_train.py
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = nn.leaky_relu(x, negative_slope=0.2)
             pyramid.append(x)
         if seq_shape is not None:
@@ -331,9 +337,10 @@ class VideoAutoencoder(nn.Module):
     backend: str = "xla"
     remat: bool = False
     norm: str = "batch"  # 'group' = per-sample stats (models/norms.py)
+    stem: str = "pool"  # 'stride2': see VideoEncoder (decoder unchanged)
 
     def setup(self) -> None:
-        self.encoder = VideoEncoder(self.latent_dim, self.norm)
+        self.encoder = VideoEncoder(self.latent_dim, self.norm, self.stem)
         self.convlstm = ConvLSTM(
             input_dim=self.latent_dim,
             hidden_dim=self.lstm_hidden_dim,
@@ -430,6 +437,12 @@ class VideoAutoencoder(nn.Module):
         """
         from vad_tpu.ops.encoder_pallas import fused_first_block
 
+        if self.stem != "pool":
+            raise ValueError(
+                "stream_step_u8's fused input kernel computes conv1+max-pool; "
+                "the stride2 stem has no pool (use stream_step — its first "
+                "conv is already stride 2 and never materializes full res)"
+            )
         b, t, h, w3 = u8_flat.shape
         dtype = w_band.dtype if jnp.issubdtype(w_band.dtype, jnp.floating) else jnp.float32
         z1 = fused_first_block(

@@ -134,6 +134,7 @@ def train(args: Any) -> Dict[str, Any]:
     model = ConvAutoencoder(
         in_channels=3, latent_dim=args.latent_dim,
         norm=getattr(args, "norm", "batch"),
+        stem=getattr(args, "stem", "pool"),
     )
     variables = model.init(
         jax.random.key(getattr(args, "seed", 0)),

@@ -102,6 +102,7 @@ def train(args: Any) -> Dict[str, Any]:
         backend=backend,
         remat=bool(getattr(args, "remat", False)),
         norm=getattr(args, "norm", "batch"),
+        stem=getattr(args, "stem", "pool"),
     )
     variables = model.init(
         jax.random.key(getattr(args, "seed", 0)),

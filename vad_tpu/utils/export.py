@@ -218,7 +218,8 @@ def export_from_checkpoint(
 
         cfg = ImageAEConfig.from_args(ckpt.get("args", {}))
         model = ConvAutoencoder(in_channels=cfg.in_channels,
-                                latent_dim=cfg.latent_dim, norm=cfg.norm)
+                                latent_dim=cfg.latent_dim, norm=cfg.norm,
+                                stem=cfg.stem)
         exported = export_image_scorer(
             model, variables, cfg.image_size, batch=batch, dtype=jdtype,
             platforms=platforms,
@@ -235,7 +236,7 @@ def export_from_checkpoint(
         model = VideoAutoencoder(
             in_channels=cfg.in_channels, latent_dim=cfg.latent_dim,
             lstm_hidden_dim=cfg.lstm_hidden_dim, lstm_layers=cfg.lstm_layers,
-            backend="xla", norm=cfg.norm,
+            backend="xla", norm=cfg.norm, stem=cfg.stem,
         )
         exported = export_video_stream_step(
             model, variables, num_slots=num_slots, chunk=chunk,

@@ -60,3 +60,18 @@ def check_served_image_size(ckpt_args: dict, served) -> None:
             f"checkpoint was trained at image_size={ck} but the server "
             f"is compiled for {hw}; restart the server to change resolutions"
         )
+
+
+def check_served_stem(ckpt_args: dict, served_stem: str) -> None:
+    """Reject a hot-reload across encoder stems: 'pool' and 'stride2'
+    checkpoints have IDENTICAL parameter trees (same 3x3 kernels, the
+    pool has no parameters), so the structural check cannot tell them
+    apart — but they are different functions, and serving stride2
+    weights through a pool-compiled step would score garbage silently."""
+    ck = str(ckpt_args.get("stem", "pool"))
+    if ck != str(served_stem or "pool"):
+        raise ValueError(
+            f"checkpoint was trained with --stem {ck} but the server is "
+            f"compiled for the '{served_stem}' stem (identical parameter "
+            "shapes, different function); restart the server to change stems"
+        )
