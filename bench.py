@@ -20,10 +20,14 @@ Both recurrence backends (XLA scan and the fused Pallas kernel) are
 measured and printed as separate config lines with analytic MFU (model
 FLOPs / v5e bf16 peak), at both 16- and 64-frame windows (BASELINE.json
 configs[4]), plus an image-scoring line (the /v1/images serving path) so
-the README's image figure is driver-tracked, plus two video TRAINING-step
-lines (f32 and --precision bf16; MFU counts forward+backward as 3x
-forward FLOPs); the FINAL line is the headline JSON the driver parses
-(best video SCORING config):
+the README's image figure is driver-tracked, plus three video TRAINING-step
+lines (f32, --precision bf16, and bf16 + --stem stride2; MFU counts
+forward+backward as 3x forward FLOPs of the stem actually measured), plus
+an end-to-end decode-INCLUDED single-stream mp4 line (host cv2 decode
+overlapped with device compute — the honest system number on this 1-core
+host, with its decode-only ceiling and achieved overlap fraction); the
+FINAL line is the headline JSON the driver parses (best video SCORING
+config):
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
      "mfu": ..., "flops_per_frame": ...}
 """
@@ -61,20 +65,24 @@ def make_source_frames(n_frames: int, image_size: int) -> np.ndarray:
         return rng.integers(0, 255, size=(n_frames, image_size, image_size, 3), dtype=np.uint8)
 
 
-def model_flops_per_frame(image_size: int = 256) -> float:
+def model_flops_per_frame(image_size: int = 256, stem: str = "pool") -> float:
     """Analytic forward FLOPs per frame of the video scoring pipeline.
 
     Counts the MXU work (convs, ConvTransposes, ConvLSTM gate convs) of
     VideoAutoencoder at default widths; elementwise/BN/gate math is
-    excluded (<2%%).  Used to report MFU alongside frames/s.
+    excluded (<2%%).  Used to report MFU alongside frames/s.  The stride2
+    stem's encoder convs emit at half resolution (no pool), so that model
+    does 1/4 the encoder conv MACs — its MFU must use its own count.
     """
     f = 0.0
     hw = image_size * image_size
-    # encoder: 4x conv3x3 at full-res-before-pool, channels 3/32/64/128 -> 32/64/128/128
+    # encoder: 4x conv3x3, channels 3/32/64/128 -> 32/64/128/128; 'pool'
+    # computes at full res before each 2x2 pool, 'stride2' emits at half res
     chans = [(3, 32), (32, 64), (64, 128), (128, 128)]
     res = hw
     for cin, cout in chans:
-        f += res * cin * 9 * cout * 2
+        out_res = res if stem == "pool" else res // 4
+        f += out_res * cin * 9 * cout * 2
         res //= 4
     # convlstm: 2 layers x (input conv + hidden conv), 3x3, 128 -> 512 at H/16
     lat_hw = hw // 256
@@ -263,18 +271,80 @@ def main() -> None:
             best_dt = min(best_dt, time.time() - t0)
         return n_iters * batch / best_dt
 
-    def measure_train(compute_dtype=None, batch: int = 8, chunk_t: int = 16) -> float:
+    def measure_e2e_mp4(n_frames: int = 512, chunk_t: int = 16):
+        """End-to-end SINGLE-STREAM system throughput: mp4 in -> per-frame
+        scores out, host cv2 decode (one CPU core) overlapped with device
+        compute through the double-buffered streaming path
+        (eval/video_render.iter_video_chunks + stream_step — the exact
+        pipeline behind evaluate_video --video).  This is the workload the
+        reference's generate_video_output runs (evaluate_video.py:309-404,
+        minus its 16x per-frame re-scoring); unlike the device-pipeline
+        lines above it INCLUDES the host side both systems must pay.
+
+        Returns (e2e_fps, decode_only_fps): the second number is the same
+        iterator with no device work — on this 1-core host it is the hard
+        ceiling, and e2e/decode_only is the achieved overlap fraction.
+        """
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+        from vad_tpu.eval.video_render import iter_video_chunks
+        from vad_tpu.ops.convlstm_pallas import preferred_backend
+
+        path = "/tmp/vad_bench_720p_e2e.mp4"
+        create_synthetic_video_file(path, n_frames=n_frames, image_size=720, seed=0)
+
+        # decode-only ceiling (same thread structure, device work skipped)
+        t0 = time.time()
+        n_dec = 0
+        for _, n_valid in iter_video_chunks(path, chunk_t, image_size):
+            n_dec += n_valid
+        decode_s = time.time() - t0
+
+        model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128))
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
+        )
+        variables = cast_floating(variables, dtype)
+
+        def scoring_step(v, u8_chunk, states):
+            x = u8_chunk.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+            _, _, frame_scores, new_states = model.apply(
+                v, x, states, method=VideoAutoencoder.stream_step
+            )
+            return frame_scores.astype(jnp.float32), new_states
+
+        step = jax.jit(scoring_step)
+        zero = ConvLSTM.zero_state(
+            model.lstm_layers, 1, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
+        )
+        s, _ = step(variables, jnp.zeros((1, chunk_t, image_size, image_size, 3), jnp.uint8), zero)
+        np.asarray(s)  # compile barrier (outside the timed window)
+
+        states = zero
+        n_scored = 0
+        t0 = time.time()
+        for buf, n_valid in iter_video_chunks(path, chunk_t, image_size):
+            s, states = step(variables, jnp.asarray(buf[None]), states)
+            n_scored += n_valid
+        np.asarray(s)  # final fetch = barrier; per-chunk dispatch is async
+        wall = time.time() - t0
+        assert n_scored == n_dec
+        return n_scored / wall, n_dec / decode_s
+
+    def measure_train(
+        compute_dtype=None, batch: int = 8, chunk_t: int = 16, stem: str = "pool"
+    ) -> float:
         """Steady-state video TRAINING-step throughput (forward + backward +
         Adam + BN-stat update, the compiled step behind train_video.py).
         Driver-tracks the --precision bf16 mixed-precision win alongside the
-        f32 reference-parity default."""
+        f32 reference-parity default, plus the --stem stride2 variant that
+        removes the round-3 profiled pool floors."""
         from vad_tpu.ops.convlstm_pallas import preferred_backend
         from vad_tpu.ops.losses import make_per_sample_loss_fn
         from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
         from vad_tpu.train.state import create_train_state
         from vad_tpu.train.steps import make_train_step, u8_normalize
 
-        model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128))
+        model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128), stem=stem)
         variables = model.init(
             jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
         )
@@ -338,16 +408,29 @@ def main() -> None:
     }), flush=True)
 
     # training throughput: forward+backward+Adam ~= 3x forward FLOPs
-    for train_name, cdt in (
-        ("video training step, f32, B=8", None),
-        ("video training step, bf16 mixed precision, B=8", jnp.bfloat16),
+    for train_name, cdt, stem in (
+        ("video training step, f32, B=8", None, "pool"),
+        ("video training step, bf16 mixed precision, B=8", jnp.bfloat16, "pool"),
+        ("video training step, bf16, stride2 stem, B=8", jnp.bfloat16, "stride2"),
     ):
-        train_fps = measure_train(cdt)
+        train_fps = measure_train(cdt, stem=stem)
+        stem_flops = model_flops_per_frame(image_size, stem=stem)
         print(json.dumps({
             "config": train_name,
             "value": round(train_fps, 1), "unit": "frames/s/chip",
-            "mfu": round(train_fps * 3 * flops_frame / V5E_PEAK_BF16_FLOPS, 3),
+            "mfu": round(train_fps * 3 * stem_flops / V5E_PEAK_BF16_FLOPS, 3),
         }), flush=True)
+
+    # end-to-end, decode-included (VERDICT r3 #5): the honest system number.
+    # On this 1-core host it is decode-bound; the overlap fraction states how
+    # much of the decode ceiling the async device pipeline preserves.
+    e2e_fps, decode_fps = measure_e2e_mp4()
+    print(json.dumps({
+        "config": "end-to-end single-stream mp4 (host decode overlapped)",
+        "value": round(e2e_fps, 1), "unit": "frames/s",
+        "decode_only_fps": round(decode_fps, 1),
+        "overlap_fraction": round(e2e_fps / decode_fps, 3),
+    }), flush=True)
 
     fps = max(results.values())
 
