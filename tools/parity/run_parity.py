@@ -359,10 +359,12 @@ def render(summary: dict, dest: Path) -> None:
 # review asked for either a systematic cause or enough draws to show the
 # means converge within half-range (textured_video is chance-level on
 # both sides — VARIANCE.md — so it takes the most draws).  The two cells
-# that were still n=1 (textured, video_synthetic) go to n=3.
+# that were still n=1 (textured, video_synthetic) went to n=3 first;
+# textured then showed the same sub-reference-mean-but-overlapping
+# pattern textured_video had at n=5, so it gets the same n=8 treatment.
 DRAW_TARGETS = {
     "synthetic": 3,
-    "textured": 3,
+    "textured": 8,
     "video_synthetic": 3,
     "textured_video": 8,
 }

@@ -1,0 +1,291 @@
+"""Stride-2 stem experiment (round-4 directive #4).
+
+Measures what the TPU-first stem variant (--stem stride2: each encoder
+block's first conv downsamples, no 2x2 max-pool — see
+vad_tpu/models/autoencoder.py:39-55) buys and costs relative to the
+reference-shaped pool stem (reference autoencoder.py:38-79):
+
+1. MICRO: steady-state scoring and training-step throughput on the real
+   TPU for both stems (same harness as bench.py), bf16.
+2. QUALITY: AUROC on all four parity fixtures at the parity budget
+   (tools/parity/run_parity.py FIXTURES), n seeds per fixture, evaluated
+   through the normal CLI path.  Pool-stem comparison numbers come from
+   the committed parity draws (results/parity_vs_reference/draws.json),
+   which used identical budgets and seeds.
+
+Writes draws to <work>/stem_draws.json and renders the committed record
+results/experiments/stride2_stem.md.
+
+Usage:
+    python tools/stem_experiment.py --work-dir /tmp/stem [--seeds 3]
+    python tools/stem_experiment.py --render-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))  # vad_tpu imports when run from anywhere
+sys.path.insert(0, str(REPO / "tools" / "parity"))
+
+from run_parity import (  # noqa: E402
+    FIXTURES,
+    find_run_dir,
+    gen_fixtures,
+    parse_aurocs,
+    run,
+)
+
+RECORD = REPO / "results" / "experiments" / "stride2_stem.md"
+PARITY_DRAWS = REPO / "results" / "parity_vs_reference" / "draws.json"
+
+
+def measure_micro() -> dict:
+    """Scoring + training-step fps for both stems on the attached device."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vad_tpu.models.video_autoencoder import ConvLSTM, VideoAutoencoder
+    from vad_tpu.ops.convlstm_pallas import preferred_backend
+    from vad_tpu.ops.losses import make_per_sample_loss_fn
+    from vad_tpu.parallel.sharding import get_mesh, train_state_shardings
+    from vad_tpu.train.state import create_train_state
+    from vad_tpu.train.steps import make_train_step, u8_normalize
+    from vad_tpu.utils.precision import cast_floating
+
+    image_size, streams, chunk_t, batch = 256, 16, 16, 8
+    lat = image_size // 16
+    dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, size=(128, image_size, image_size, 3), dtype=np.uint8)
+
+    out: dict = {}
+    for stem in ("pool", "stride2"):
+        model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128), stem=stem)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
+        )
+
+        # scoring (multi-stream serving shape, same as bench.py measure())
+        cast_vars = cast_floating(variables, dtype)
+
+        def scoring_step(v, u8_chunk, states, model=model):
+            x = u8_chunk.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+            _, _, frame_scores, new_states = model.apply(
+                v, x, states, method=VideoAutoencoder.stream_step
+            )
+            return frame_scores.astype(jnp.float32), new_states
+
+        step = jax.jit(scoring_step)
+        zero = ConvLSTM.zero_state(
+            model.lstm_layers, streams, lat, lat, model.lstm_hidden_dim, dtype=jnp.float32
+        )
+        chunks = [
+            jnp.asarray(np.broadcast_to(
+                src[(np.arange(chunk_t) + 37 * i) % len(src)],
+                (streams, chunk_t, image_size, image_size, 3),
+            ).copy())
+            for i in range(4)
+        ]
+        s, states = step(cast_vars, chunks[0], zero)
+        np.asarray(s)  # compile barrier
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for i in range(8):
+                s, states = step(cast_vars, chunks[i % 4], states)
+            np.asarray(s)
+            best = min(best, time.time() - t0)
+        out[f"scoring_fps_{stem}"] = round(8 * streams * chunk_t / best, 1)
+
+        # training step (same harness as bench.py measure_train, bf16)
+        mesh = get_mesh()
+        state = create_train_state(model, variables, 1e-4, weight_decay=1e-5)
+        tstep = make_train_step(
+            make_per_sample_loss_fn("mse", 0.5), mesh, preprocess=u8_normalize,
+            state_shardings=train_state_shardings(state, mesh),
+            compute_dtype=dtype,
+        )
+        bufs = [
+            jnp.asarray(np.broadcast_to(
+                src[(np.arange(chunk_t) + 37 * i) % len(src)],
+                (batch, chunk_t, image_size, image_size, 3),
+            ).copy())
+            for i in range(2)
+        ]
+        n_real = jnp.asarray(batch, jnp.int32)
+        state, loss = tstep(state, bufs[0], n_real)
+        np.asarray(loss)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for i in range(8):
+                state, loss = tstep(state, bufs[i % 2], n_real)
+            np.asarray(loss)
+            best = min(best, time.time() - t0)
+        out[f"train_fps_{stem}"] = round(8 * batch * chunk_t / best, 1)
+
+    out["scoring_speedup"] = round(out["scoring_fps_stride2"] / out["scoring_fps_pool"], 2)
+    out["train_speedup"] = round(out["train_fps_stride2"] / out["train_fps_pool"], 2)
+    return out
+
+
+def run_fixture_draw(fixture: dict, data_dir: Path, out_dir: Path, seed: int) -> dict:
+    kind = fixture["kind"]
+    train_script = "train_video.py" if kind == "video" else "train.py"
+    eval_script = "evaluate_video.py" if kind == "video" else "evaluate.py"
+    results_dir = out_dir / f"stride2_seed{seed}"
+    results_dir.mkdir(parents=True, exist_ok=True)
+    train_cmd = [
+        sys.executable, train_script, *fixture["flags"],
+        "--stem", "stride2", "--seed", str(seed),
+        "--data-dir", str(data_dir), "--results-dir", str(results_dir),
+    ]
+    print(f"[stride2/{fixture['name']}/seed{seed}] training", flush=True)
+    stdout, train_s, _ = run(train_cmd, REPO, None)
+    run_dir = find_run_dir(stdout)
+    (results_dir / f"{fixture['name']}_train.log").write_text(stdout)
+    eval_cmd = [
+        sys.executable, eval_script,
+        "--checkpoint", str(run_dir / "best_model.ckpt"),
+        "--data-dir", str(data_dir),
+    ]
+    print(f"[stride2/{fixture['name']}/seed{seed}] evaluating", flush=True)
+    eval_out, eval_s, _ = run(eval_cmd, REPO, None)
+    (results_dir / f"{fixture['name']}_eval.log").write_text(eval_out)
+    return {
+        "fixture": fixture["name"],
+        "seed": seed,
+        "train_seconds": round(train_s, 1),
+        "eval_seconds": round(eval_s, 1),
+        "run_dir": str(run_dir),
+        **parse_aurocs(kind, run_dir / "evaluation" / "results.txt", eval_out),
+    }
+
+
+def _stats(vals: list) -> str:
+    if not vals:
+        return "—"
+    if len(vals) == 1:
+        return f"{vals[0]:.4f} (n=1)"
+    mean = sum(vals) / len(vals)
+    half = (max(vals) - min(vals)) / 2
+    return f"{mean:.4f} ± {half:.4f} (n={len(vals)})"
+
+
+def render(summary: dict) -> None:
+    parity = json.loads(PARITY_DRAWS.read_text())["runs"]
+    micro = summary.get("micro", {})
+    lines = [
+        "# Stride-2 stem: measured (round 4)",
+        "",
+        "The round-3 training-step profiles (COMPONENTS.md) closed both hot",
+        "costs at the kernel level but noted they exist only because the",
+        "architecture keeps conv-then-2x2-pool at 256² (reference",
+        "autoencoder.py:38-79): a 6.18 ms 256²×32 padded-layout",
+        "materialization in the forward and a 5.7 ms select-and-scatter pool",
+        "backward.  `--stem stride2` (both model families) downsamples in",
+        "each block's first conv instead — same parameter count, same output",
+        "geometry, no full-resolution intermediate, no pool backward.",
+        "",
+        "## Throughput (real TPU, bf16, B=8/T=16 train, 16-stream scoring)",
+        "",
+        "| metric | pool stem | stride2 stem | speedup |",
+        "|---|---|---|---|",
+    ]
+    if micro:
+        lines += [
+            f"| video training step (frames/s) | {micro['train_fps_pool']} "
+            f"| {micro['train_fps_stride2']} | {micro['train_speedup']}x |",
+            f"| video scoring (frames/s) | {micro['scoring_fps_pool']} "
+            f"| {micro['scoring_fps_stride2']} | {micro['scoring_speedup']}x |",
+        ]
+    lines += [
+        "",
+        "## AUROC at the parity budget",
+        "",
+        "Same fixtures/budgets/seeds as results/parity_vs_reference; pool",
+        "numbers are the committed vad parity draws.",
+        "",
+        "| fixture | pool stem | stride2 stem | reference (torch) |",
+        "|---|---|---|---|",
+    ]
+    for f in FIXTURES:
+        name = f["name"]
+        pool = [r["auroc"] for r in parity if r["side"] == "vad_tpu" and r["fixture"] == name]
+        ref = [r["auroc"] for r in parity if r["side"] == "reference" and r["fixture"] == name]
+        s2 = [r["auroc"] for r in summary["runs"] if r["fixture"] == name]
+        lines.append(f"| {name} | {_stats(pool)} | {_stats(s2)} | {_stats(ref)} |")
+    times = {}
+    for r in summary["runs"]:
+        times.setdefault(r["fixture"], []).append(r["train_seconds"])
+    if times:
+        lines += [
+            "",
+            "Stride2 train wall seconds per draw: "
+            + ", ".join(f"{k} {sum(v)/len(v):.0f}s" for k, v in times.items())
+            + " (pool-stem walls are in results/parity_vs_reference/README.md).",
+        ]
+    lines += [
+        "",
+        "Raw draws: stem_draws.json next to this file.  Reproduce:",
+        "`python tools/stem_experiment.py --work-dir /tmp/stem`.",
+        "",
+    ]
+    RECORD.parent.mkdir(parents=True, exist_ok=True)
+    RECORD.write_text("\n".join(lines))
+    (RECORD.parent / "stem_draws.json").write_text(json.dumps(summary, indent=2) + "\n")
+    print(f"wrote {RECORD}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work-dir", default="/tmp/stem")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip-micro", action="store_true")
+    ap.add_argument("--render-only", action="store_true")
+    args = ap.parse_args()
+
+    work = Path(args.work_dir)
+    work.mkdir(parents=True, exist_ok=True)
+    summary_path = work / "stem_draws.json"
+    summary = (
+        json.loads(summary_path.read_text()) if summary_path.exists() else {"runs": []}
+    )
+    if args.render_only:
+        render(summary)
+        return
+
+    if not args.skip_micro and "micro" not in summary:
+        print("[micro] measuring both stems on device", flush=True)
+        summary["micro"] = measure_micro()
+        summary_path.write_text(json.dumps(summary, indent=2) + "\n")
+        print(json.dumps(summary["micro"]), flush=True)
+
+    data_dir = work / "data"
+    gen_fixtures(data_dir)
+    done = {(r["fixture"], r["seed"]) for r in summary["runs"]}
+    for fixture in FIXTURES:
+        if args.only and fixture["name"] != args.only:
+            continue
+        for seed in range(args.seeds):
+            if (fixture["name"], seed) in done:
+                print(f"[skip] {fixture['name']}/seed{seed} already done", flush=True)
+                continue
+            rec = run_fixture_draw(fixture, data_dir, work, seed)
+            summary["runs"].append(rec)
+            summary_path.write_text(json.dumps(summary, indent=2) + "\n")
+            print(f"[done] {rec}", flush=True)
+    render(summary)
+
+
+if __name__ == "__main__":
+    main()
