@@ -412,7 +412,12 @@ class TestDistributedLoader:
             real.extend(merged[:n_real].tolist())
         assert sorted(real) == list(range(10))
 
-    def test_padding_repeats_last_real_index(self):
+    def test_padding_cycles_real_indices(self):
+        """Pad slots cycle the real indices (not repeat-last): train-mode
+        BN statistics over the padded batch then equal the unpadded
+        batch's exactly whenever pad_to % n_real == 0 — the procedure-
+        parity contract for training through tail batches (the torch
+        reference trains its short last batch, train.py:128-134)."""
         from vad_tpu.data.loader import DistributedLoader
         from vad_tpu.parallel.sharding import get_mesh
 
@@ -425,7 +430,7 @@ class TestDistributedLoader:
         assert n_real == 5
         vals = batch["x"][:, 0].astype(int)
         assert vals[:5].tolist() == [0, 1, 2, 3, 4]
-        assert vals[5:].tolist() == [4, 4, 4]  # tail = repeated last real
+        assert vals[5:].tolist() == [0, 1, 2]  # tail = cycled real indices
 
     def test_assembled_batches_are_data_sharded(self):
         """assemble=True yields global jax.Arrays sharded over 'data',
@@ -445,9 +450,9 @@ class TestDistributedLoader:
             assert isinstance(batch["x"], jax.Array)
             assert batch["x"].sharding.spec == P("data")
             assert batch["x"].shape[0] == 8
-        # shuffle off: contents are the identity order + padded tail
+        # shuffle off: contents are the identity order + cycled tail
         got = np.asarray(batches[1][0]["x"])[:, 0].astype(int)
-        assert got.tolist() == [8, 9, 10, 11, 11, 11, 11, 11]
+        assert got.tolist() == [8, 9, 10, 11, 8, 9, 10, 11]
 
     def test_drop_remainder_and_epoch_reshuffle(self):
         from vad_tpu.data.loader import DistributedLoader

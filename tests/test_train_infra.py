@@ -88,6 +88,64 @@ class TestTrainStep:
         state, loss = step(state, jnp.asarray(x), jnp.asarray(16))
         assert np.isfinite(float(loss))
 
+    def test_cycled_pad_tail_step_equals_short_batch_step(self):
+        """Training THROUGH a padded tail batch is the same optimizer step
+        as the torch reference's short last batch (train.py:128-134):
+        with the pad slots CYCLING the real samples (loader policy) and
+        pad_to % n_real == 0, train-mode BN statistics over the padded
+        batch equal the short batch's exactly, the masked loss equals the
+        short-batch mean, and therefore the updated parameters match."""
+        model, state_pad = small_state()
+        _, state_short = small_state()
+        # mesh=None: a 2-sample short batch cannot shard over the 8-device
+        # data axis (that impossibility is exactly why the loader pads);
+        # the property under test is mathematical, not a sharding one.
+        step = make_train_step(mse_per_sample)
+        x2 = np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(np.float32)
+        x_pad = np.resize(x2, (8, 32, 32, 3))  # cycles the 2 real samples
+        state_pad, loss_pad = step(state_pad, jnp.asarray(x_pad), jnp.asarray(2))
+        state_short, loss_short = step(state_short, jnp.asarray(x2), jnp.asarray(2))
+        assert np.isclose(float(loss_pad), float(loss_short), rtol=1e-5)
+        # BN running statistics advance identically (same batch stats)
+        for a, b in zip(jax.tree.leaves(state_pad.batch_stats),
+                        jax.tree.leaves(state_short.batch_stats)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+        # gradient equality is asserted DIRECTLY, in float64: after one
+        # Adam step the f32 params are not comparable (the step-1 update
+        # ~ lr*g/(sqrt(g^2)+eps) amplifies reduction-order rounding of
+        # near-zero gradients to O(lr)), and even raw f32 gradients carry
+        # ~1e-5 cancellation noise through the BN chain — but in f64 the
+        # padded objective is the same function to ~1e-14 (measured
+        # 9e-15), which is the actual mathematical claim.
+        model2, state0 = small_state()
+        with jax.enable_x64():
+            params64 = jax.tree.map(lambda p: p.astype(jnp.float64), state0.params)
+            stats64 = jax.tree.map(
+                lambda p: p.astype(jnp.float64), state0.batch_stats
+            )
+
+            def objective(params, x, n):
+                recon, _ = model2.apply(
+                    {"params": params, "batch_stats": stats64},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                losses = mse_per_sample(recon, x)
+                mask = jnp.arange(x.shape[0]) < n
+                return jnp.sum(jnp.where(mask, losses, 0.0)) / n
+
+            g_pad = jax.grad(objective)(
+                params64, jnp.asarray(x_pad, jnp.float64), 2
+            )
+            g_short = jax.grad(objective)(
+                params64, jnp.asarray(x2, jnp.float64), 2
+            )
+        for a, b in zip(jax.tree.leaves(g_pad), jax.tree.leaves(g_short)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-13
+            )
+
     def test_lr_injection_without_recompile(self):
         model, state = small_state(lr=1e-3)
         assert np.isclose(current_learning_rate(state), 1e-3)

@@ -127,9 +127,13 @@ class DistributedLoader:
 
     Yields ``(batch, n_real)``: array fields become global jax.Arrays
     sharded over the mesh 'data' axis, ``n_real`` counts the REAL samples
-    (the index list of each batch is padded to ``pad_to`` by repeating
-    its last real index, keeping jit shapes static; callers mask the
-    padded tail via n_real exactly as with `pad_batch_for_devices`).
+    (the index list of each batch is padded to ``pad_to`` by cycling its
+    real indices, keeping jit shapes static; callers mask the padded
+    tail via n_real exactly as with `pad_batch_for_devices`.  Cycling —
+    not repeating the last index — makes a padded tail batch's
+    train-mode BatchNorm statistics exactly the unpadded batch's
+    whenever pad_to % n_real == 0, so training THROUGH the tail matches
+    the reference's short-last-batch procedure, torch train.py:128-134).
 
     Args:
         dataset: object with __len__ and __getitem__ -> dict.
@@ -203,7 +207,14 @@ class DistributedLoader:
             real = min(self.batch_size, n - lo)
             idx = order[lo : lo + real]
             if real < self.pad_to:
-                idx = np.concatenate([idx, np.repeat(idx[-1:], self.pad_to - real)])
+                # pad by CYCLING the real indices (np.resize), not repeating
+                # the last one: train-mode BatchNorm normalizes the padded
+                # batch with statistics over the duplicated multiset, and
+                # cycling makes those stats EQUAL to the unpadded batch's
+                # whenever pad_to % n_real == 0 (every copy count equal) —
+                # e.g. the 50-image fixtures' 2-sample tail at pad_to=16.
+                # The loss itself is masked to the first n_real either way.
+                idx = np.resize(idx, self.pad_to)
             plan.append((idx[start : start + count], real))
         return plan
 

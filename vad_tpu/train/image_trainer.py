@@ -118,13 +118,18 @@ def train(args: Any) -> Dict[str, Any]:
     print(f"Training samples: {len(train_ds)} (all normal)")
     print(f"Test samples: {len(test_ds)}")
 
-    # drop the tail batch when possible: padded duplicates are masked out
-    # of the loss but would still skew train-mode BatchNorm statistics
+    # train THROUGH the padded tail batch: the reference's DataLoader
+    # yields the short last batch (torch train.py:128-134), so dropping
+    # it here would take fewer optimizer steps per epoch (150 vs 200 on
+    # the 50-image fixtures).  The loader pads by cycling real indices,
+    # which makes the tail's train-mode BN statistics equal the unpadded
+    # batch's when pad_to % n_real == 0; the loss mask handles the rest.
+    # The shuffle seed follows --seed so independent draws differ in
+    # data order as well as init (the reference's unseeded draws do).
     accum_steps = max(1, int(getattr(args, "accum_steps", 1) or 1))
     train_loader = DistributedLoader(
         train_ds, args.batch_size, mesh, shuffle=True,
-        num_workers=args.num_workers, seed=0,
-        drop_remainder=len(train_ds) >= args.batch_size,
+        num_workers=args.num_workers, seed=getattr(args, "seed", 0) or 0,
         pad_to=padded_batch_size(args.batch_size, mesh, accum_steps),
     )
     test_loader = DistributedLoader(
