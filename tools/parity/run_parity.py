@@ -90,13 +90,18 @@ FIXTURES = [
 # training runs whose aurocs were recorded but which predate the draw
 # bookkeeping.  Merged into summary.json on first load (draw 0 of each
 # (side, fixture) is the original headline run and already lives there).
+#
+# Round 4 removed the stale vad_tpu IMAGE entries (synthetic seeds 1/2:
+# 0.9950, 0.9300): they were trained under the pre-fix procedure that
+# DROPPED the tail batch (25-33% fewer optimizer steps per epoch than
+# the torch reference takes — see results/experiments/
+# tail_batch_procedure.md), so they no longer measure the shipped
+# trainer.  The vad_tpu video entries stay: both video fixtures'
+# sequence counts divide the batch size (44 % 4 == 92 % 4 == 0), so no
+# tail batch ever existed there and the fix is a no-op for them.
 PRIOR_DRAWS = [
     {"side": "reference", "fixture": "synthetic", "draw": 1, "auroc": 0.9600,
      "source": "VARIANCE.md round-2 spread study (unseeded redraw)"},
-    {"side": "vad_tpu", "fixture": "synthetic", "draw": 1, "auroc": 0.9950,
-     "source": "VARIANCE.md round-2 spread study (seed 1)"},
-    {"side": "vad_tpu", "fixture": "synthetic", "draw": 2, "auroc": 0.9300,
-     "source": "VARIANCE.md round-2 spread study (seed 2)"},
     {"side": "reference", "fixture": "textured_video", "draw": 1, "auroc": 0.7263,
      "source": "VARIANCE.md round-2 spread study (unseeded redraw)"},
     {"side": "vad_tpu", "fixture": "textured_video", "draw": 1, "auroc": 0.4316,
@@ -348,6 +353,12 @@ def render(summary: dict, dest: Path) -> None:
         "train-vs-eval decomposition via checkpoint interop are in",
         "[VARIANCE.md](VARIANCE.md).",
     ]
+    # durable hand-written annotations live in NOTES.md (this file is
+    # machine-rendered and fully overwritten on every render)
+    if (dest / "NOTES.md").exists():
+        lines += ["", "Round-by-round movement notes (what changed between",
+                  "campaigns and why draws were re-run) are in",
+                  "[NOTES.md](NOTES.md)."]
     dest.mkdir(parents=True, exist_ok=True)
     (dest / "README.md").write_text("\n".join(lines) + "\n")
     (dest / "draws.json").write_text(json.dumps(summary, indent=2) + "\n")
