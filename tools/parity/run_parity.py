@@ -164,6 +164,49 @@ def parse_aurocs(kind: str, results_txt: Path, eval_stdout: str) -> dict:
     return out
 
 
+def merge_artifacts(summary: dict, artifacts: Path) -> list:
+    """Fold committed per-draw results.txt artifacts into ``summary``.
+
+    The harness copies each draw's results.txt to
+    ``artifacts/<side>/<fixture>[/drawN]/results.txt`` (draw 0 at the
+    fixture root).  The scratch work dir holding summary.json lives in
+    /tmp and does not survive a host restart, but the artifacts are
+    committed — this reconstructs the per-draw AUROC records from the
+    committed copies so the table can be re-rendered without
+    re-measuring.  Only (side, fixture, draw) triples missing from
+    ``summary`` are added; reconstructed records carry no timing.
+    Returns the added records.
+    """
+    kinds = {f["name"]: f["kind"] for f in FIXTURES}
+    have = {(r["side"], r["fixture"], r.get("draw", 0)) for r in summary["runs"]}
+    added = []
+    for side_dir in sorted(artifacts.iterdir()) if artifacts.is_dir() else []:
+        for fix_dir in sorted(side_dir.iterdir()):
+            if fix_dir.name not in kinds:
+                continue
+            draws = {0: fix_dir / "results.txt"}
+            for sub in fix_dir.glob("draw*"):
+                draws[int(sub.name[4:])] = sub / "results.txt"
+            for draw, txt in sorted(draws.items()):
+                if not txt.exists():
+                    continue
+                key = (side_dir.name, fix_dir.name, draw)
+                if key in have:
+                    continue
+                try:
+                    metrics = parse_aurocs(kinds[fix_dir.name], txt, "")
+                except AttributeError:  # results.txt without the AUROC line
+                    print(f"[merge-artifacts] skip unparseable {txt}")
+                    continue
+                rec = {
+                    "side": side_dir.name, "fixture": fix_dir.name, "draw": draw,
+                    **metrics,
+                }
+                summary["runs"].append(rec)
+                added.append(rec)
+    return added
+
+
 def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path,
              draw: int = 0) -> dict:
     kind = fixture["kind"]
@@ -389,6 +432,11 @@ def main() -> None:
     ap.add_argument("--render-only", action="store_true")
     ap.add_argument("--draws", type=int, default=None,
                     help="draws per (side, fixture); default DRAW_TARGETS")
+    ap.add_argument("--merge-artifacts", action="store_true",
+                    help="reconstruct draws missing from summary.json from "
+                         "the committed results/parity_vs_reference/artifacts "
+                         "tree (recovers a lost /tmp work dir without "
+                         "re-measuring)")
     ap.add_argument("--dest", default=None,
                     help="render destination (default: the committed "
                          "results/parity_vs_reference — only written when "
@@ -407,6 +455,10 @@ def main() -> None:
     for prior in PRIOR_DRAWS:
         if (prior["side"], prior["fixture"], prior["draw"]) not in have:
             summary["runs"].append(dict(prior))
+    if args.merge_artifacts:
+        committed = REPO / "results" / "parity_vs_reference" / "artifacts"
+        added = merge_artifacts(summary, committed)
+        print(f"[merge-artifacts] reconstructed {len(added)} draw(s) from {committed}")
     if args.dest is not None:
         dest = Path(args.dest)
     elif any("source" not in r for r in summary["runs"]):  # harness runs carry no source tag
