@@ -271,6 +271,18 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path,
         "run_dir": str(run_dir),
         **parse_aurocs(kind, results_txt, eval_out),
     }
+    # procedure provenance: vad draws measure the repo at a specific
+    # commit (round 4's tail-batch fix showed why this matters — draws
+    # from different trainer procedures must never be conflated in one
+    # cell); the reference is fixed upstream code, so no hash needed
+    if side == "vad_tpu":
+        try:
+            rec["repo_commit"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except (OSError, subprocess.CalledProcessError):
+            pass
     # keep the artifact for the committed table
     keep = out_dir / "artifacts" / side / fixture["name"]
     if draw:
