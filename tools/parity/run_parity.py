@@ -507,13 +507,14 @@ def main() -> None:
                 print(f"[done] {side}/{fixture['name']}/draw{draw}: {rec}")
 
     render(summary, dest)
-    # committed artifacts alongside the table
+    # committed artifacts alongside the table — MERGE, never wipe: a
+    # partial campaign from a fresh work dir holds only its own draws,
+    # and replacing the committed tree wholesale would delete every
+    # other fixture's artifacts
     art_src = work / "artifacts"
     if art_src.exists():
         art_dst = dest / "artifacts"
-        if art_dst.exists():
-            shutil.rmtree(art_dst)
-        shutil.copytree(art_src, art_dst)
+        shutil.copytree(art_src, art_dst, dirs_exist_ok=True)
 
 
 if __name__ == "__main__":
