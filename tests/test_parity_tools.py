@@ -52,6 +52,39 @@ def test_merge_artifacts_reconstructs_missing_draws(tmp_path):
                 == ("vad_tpu", "textured", 0)]) == 1
 
 
+def test_prune_superseded_replaces_remeasured_cell(tmp_path):
+    """A re-measured cell fully replaces its committed artifacts (stale
+    pre-fix draws are deleted, including the draw-0 root results.txt),
+    while cells this campaign did not touch are preserved, and draws the
+    new summary still references survive an extension campaign."""
+    dst = tmp_path / "dest"
+    # committed tree: textured has draw0 (root results.txt) + draw1..draw3;
+    # synthetic was measured in an earlier campaign and is untouched here
+    _write(dst / "vad_tpu/textured/results.txt", "AUROC: 0.60\n")
+    for i in (1, 2, 3):
+        _write(dst / f"vad_tpu/textured/draw{i}/results.txt",
+               f"AUROC: 0.6{i}\n")
+    _write(dst / "vad_tpu/synthetic/results.txt", "AUROC: 0.97\n")
+
+    # fresh campaign re-measured textured with draws 2 and 4 only
+    src = tmp_path / "work"
+    _write(src / "vad_tpu/textured/draw2/results.txt", "AUROC: 0.72\n")
+    _write(src / "vad_tpu/textured/draw4/results.txt", "AUROC: 0.74\n")
+    summary = {"runs": [
+        {"side": "vad_tpu", "fixture": "textured", "draw": 2, "auroc": 0.72},
+        {"side": "vad_tpu", "fixture": "textured", "draw": 4, "auroc": 0.74},
+    ]}
+
+    rp.prune_superseded(summary, src, dst)
+
+    tex = dst / "vad_tpu/textured"
+    assert not (tex / "results.txt").exists()          # draw 0 superseded
+    assert not (tex / "draw1").exists()                # superseded
+    assert (tex / "draw2/results.txt").exists()        # still referenced
+    assert not (tex / "draw3").exists()                # superseded
+    assert (dst / "vad_tpu/synthetic/results.txt").exists()  # untouched cell
+
+
 def test_merge_artifacts_matches_committed_tree():
     """The committed draws.json is a fixed point: every artifact on disk
     is already recorded, so reconstruction adds nothing."""

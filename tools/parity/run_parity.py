@@ -207,6 +207,37 @@ def merge_artifacts(summary: dict, artifacts: Path) -> list:
     return added
 
 
+def prune_superseded(summary: dict, art_src: Path, art_dst: Path) -> None:
+    """Delete committed draw artifacts the summary no longer references.
+
+    Scoped to (side, fixture) cells present in ``art_src`` — cells this
+    campaign did not touch keep their committed artifacts untouched.
+    Within a touched cell, a committed drawN directory (or the draw-0
+    results.txt at the cell root) whose draw number is absent from
+    ``summary['runs']`` is a superseded measurement; leaving it behind
+    would let a later ``--merge-artifacts`` resurrect it into a summary
+    built under a different trainer procedure.  Extension campaigns are
+    unaffected: draws still referenced by the summary are kept.
+    """
+    for side_dir in sorted(art_src.iterdir()):
+        for fix_dir in sorted(p for p in side_dir.iterdir() if p.is_dir()):
+            tgt = art_dst / side_dir.name / fix_dir.name
+            if not tgt.is_dir():
+                continue
+            live = {
+                r.get("draw", 0)
+                for r in summary["runs"]
+                if r["side"] == side_dir.name and r["fixture"] == fix_dir.name
+            }
+            for sub in tgt.glob("draw*"):
+                if int(sub.name[4:]) not in live:
+                    print(f"[prune-superseded] {sub}")
+                    shutil.rmtree(sub)
+            if 0 not in live and (tgt / "results.txt").exists():
+                print(f"[prune-superseded] {tgt / 'results.txt'}")
+                (tgt / "results.txt").unlink()
+
+
 def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path,
              draw: int = 0) -> dict:
     kind = fixture["kind"]
@@ -271,6 +302,32 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path,
         "run_dir": str(run_dir),
         **parse_aurocs(kind, results_txt, eval_out),
     }
+    if side == "reference" and kind == "video" and "frame_auroc" not in rec:
+        # the reference's own frame-AUROC branch is dead code for IPAD
+        # data (IPADDataset.__getitem__ drops frame_labels —
+        # video_dataset.py:145-151); compute the number it would have
+        # printed via tools/parity/ref_frame_auroc.py (reference model +
+        # dataset + scoring; only the label plumbing is harness code)
+        cat = fixture["flags"][fixture["flags"].index("--category") + 1]
+        fa_out, _, fa_rc = run(
+            [sys.executable, str(REPO / "tools/parity/ref_frame_auroc.py"),
+             "--checkpoint", str(run_dir / ckpt_name),
+             "--data-dir", str(data_dir), "--category", cat],
+            cwd=REFERENCE, env_extra=env, check=False,
+        )
+        m = re.search(r"Frame-level AUROC: ([0-9.]+)", fa_out)
+        if m:
+            rec["frame_auroc"] = float(m.group(1))
+            with results_txt.open("a") as fh:
+                fh.write(
+                    f"Frame-level AUROC: {m.group(1)}\n"
+                    "(computed out-of-band by tools/parity/ref_frame_auroc.py: "
+                    "the reference's IPADDataset.__getitem__ drops frame_labels, "
+                    "so its own frame-AUROC branch never runs)\n"
+                )
+        else:
+            print(f"[{side}/{fixture['name']}] frame-AUROC tool rc={fa_rc}:\n"
+                  f"{fa_out[-500:]}")
     # procedure provenance: vad draws measure the repo at a specific
     # commit (round 4's tail-batch fix showed why this matters — draws
     # from different trainer procedures must never be conflated in one
@@ -510,10 +567,17 @@ def main() -> None:
     # committed artifacts alongside the table — MERGE, never wipe: a
     # partial campaign from a fresh work dir holds only its own draws,
     # and replacing the committed tree wholesale would delete every
-    # other fixture's artifacts
+    # other fixture's artifacts.  But within a cell this campaign
+    # touched, committed draw artifacts the summary no longer references
+    # are SUPERSEDED (e.g. a cell re-measured post-procedure-fix at a
+    # lower n) and must not survive: --merge-artifacts would otherwise
+    # reconstruct those stale pre-fix draws straight back into a
+    # post-fix summary — exactly the cross-procedure conflation
+    # artifacts_superseded/README.md forbids.
     art_src = work / "artifacts"
     if art_src.exists():
         art_dst = dest / "artifacts"
+        prune_superseded(summary, art_src, art_dst)
         shutil.copytree(art_src, art_dst, dirs_exist_ok=True)
 
 
