@@ -27,3 +27,20 @@ def test_two_process_training_matches_single_process(tmp_path):
         assert rec["process_count"] == 2
         assert rec["local_devices"] == 4
         assert rec["global_devices"] == 8
+
+
+def test_two_process_tensor_parallel_matches_single_process(tmp_path):
+    """Cross-process tp: the video model's gate convs shard over a
+    'model' axis interleaved across the 2 processes, so the tp psum /
+    checkpoint all-gather cross Gloo; trajectory must still match the
+    single-process (2,2)-mesh control (§5.8 residual caveat)."""
+    result = launch(processes=2, local_devices=2, steps=2,
+                    out_dir=str(tmp_path), timeout=900.0, model_parallel=2)
+    assert result["ok"]
+    assert result["model_parallel"] == 2
+    assert len(result["multiproc_losses"]) == 2
+    for p in range(2):
+        rec = json.loads((tmp_path / "multiproc" / f"proc{p}.json").read_text())
+        assert rec["process_count"] == 2
+        assert rec["local_devices"] == 2
+        assert rec["global_devices"] == 4

@@ -190,7 +190,7 @@ class DistributedLoader:
 
     def _epoch_plan(self) -> List:
         """[(local_indices, n_real)] for every global batch this epoch."""
-        from vad_tpu.parallel.multihost import local_sample_range
+        from vad_tpu.parallel.multihost import owned_batch_positions
 
         n = len(self.dataset)
         order = np.arange(n)
@@ -198,8 +198,10 @@ class DistributedLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         n_batches = len(self)
-        start, count = local_sample_range(
-            self.pad_to, self.process_count, self.process_index
+        # mesh-aware ownership: the contiguous slice on a process-grouped
+        # mesh, every participating row block on a cross-process-tp mesh
+        pos = owned_batch_positions(
+            self.mesh, self.pad_to, self.process_count, self.process_index
         )
         plan = []
         for step in range(n_batches):
@@ -215,7 +217,7 @@ class DistributedLoader:
                 # e.g. the 50-image fixtures' 2-sample tail at pad_to=16.
                 # The loss itself is masked to the first n_real either way.
                 idx = np.resize(idx, self.pad_to)
-            plan.append((idx[start : start + count], real))
+            plan.append((idx[pos], real))
         return plan
 
     def _finish(self, samples: List[Dict], n_real: int):

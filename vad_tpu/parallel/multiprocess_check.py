@@ -27,11 +27,22 @@ This is the framework's replacement for the reference's single
 ``.to(device)`` ceiling (reference train.py:146) at the DCN scale
 SURVEY §5.8 reserves, proven with 2 local processes.
 
+``--model-parallel 2`` switches to the cross-process TENSOR-parallel
+check: the video model's ConvLSTM gate convolutions are sharded over a
+'model' mesh axis whose groups are interleaved across the two processes
+(column j of every data row belongs to process j), so the tp psum in
+backward and the checkpoint all-gather cross the Gloo boundary — the
+round-4 review's residual §5.8 caveat ("tp has never crossed a process
+boundary").  The production layout keeps tp inside a host (over ICI);
+this layout exists to prove the collectives are correct wherever the
+mesh puts them.
+
 Usage (launcher, spawns workers and compares):
     python -m vad_tpu.parallel.multiprocess_check [--processes 2]
-        [--local-devices 4] [--steps 2]
+        [--local-devices 4] [--steps 2] [--model-parallel 1]
 
-CI: tests/test_multiprocess.py runs exactly this with 2 processes.
+CI: tests/test_multiprocess.py runs exactly this with 2 processes,
+in both dp-only and cross-process-tp forms.
 """
 
 from __future__ import annotations
@@ -69,6 +80,25 @@ class DeterministicImages:
         return {"image": self.images[i]}
 
 
+class DeterministicVideos:
+    """Seeded in-memory uint8 video clips [T, H, W, 3] — the tp check
+    trains the VIDEO model, whose ConvLSTM gate convs are what
+    `convlstm_param_shardings` actually splits over 'model'."""
+
+    def __init__(self, n: int = DATASET_SIZE, size: int = IMAGE_SIZE,
+                 t: int = 2) -> None:
+        rng = np.random.default_rng(0)
+        self.clips = rng.integers(
+            0, 256, size=(n, t, size, size, 3), dtype=np.uint8
+        )
+
+    def __len__(self) -> int:
+        return len(self.clips)
+
+    def __getitem__(self, i: int) -> dict:
+        return {"image": self.clips[i]}
+
+
 def run_worker(args) -> None:
     """One process of the distributed program (or the single-process
     control run when --num-processes 1)."""
@@ -90,24 +120,64 @@ def run_worker(args) -> None:
     from vad_tpu.models.autoencoder import ConvAutoencoder
     from vad_tpu.ops.losses import mse_per_sample
     from vad_tpu.parallel.multihost import to_host
-    from vad_tpu.parallel.sharding import get_mesh, replicate_sharding
+    from vad_tpu.parallel.sharding import (
+        get_mesh,
+        replicate_sharding,
+        train_state_shardings,
+    )
     from vad_tpu.train.state import create_train_state
     from vad_tpu.train.steps import make_train_step, u8_normalize
     from vad_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    mesh = get_mesh()
-    model = ConvAutoencoder(latent_dim=LATENT_DIM)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32),
-        train=False,
-    )
-    state = create_train_state(model, variables, learning_rate=1e-3)
-    state = jax.device_put(state, replicate_sharding(mesh))
+    mp = max(1, args.model_parallel)
+    if mp > 1 and jax.process_count() > 1:
+        # Interleave the device grid so every 'model' group spans BOTH
+        # processes: column j of each data row comes from process j.
+        # This deliberately pushes the gate-conv psum/all-gather across
+        # the Gloo boundary (the production layout would keep tp inside
+        # a host; this check proves the collectives are layout-honest).
+        if mp != jax.process_count():
+            raise ValueError("cross-process tp check needs model_parallel == processes")
+        per_proc = [
+            [d for d in jax.devices() if d.process_index == p]
+            for p in range(jax.process_count())
+        ]
+        devices = [d for group in zip(*per_proc) for d in group]
+        mesh = get_mesh(devices, model_parallel=mp)
+    else:
+        mesh = get_mesh(model_parallel=mp)
 
-    train_step = make_train_step(mse_per_sample, mesh=mesh, preprocess=u8_normalize)
+    if mp > 1:
+        # tp shards the ConvLSTM gate convolutions — train the video model
+        from vad_tpu.models.video_autoencoder import VideoAutoencoder
+
+        model = VideoAutoencoder(
+            in_channels=3, latent_dim=8, lstm_hidden_dim=8, lstm_layers=1,
+        )
+        dataset = DeterministicVideos()
+        example = jnp.zeros((1, 2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
+    else:
+        model = ConvAutoencoder(latent_dim=LATENT_DIM)
+        dataset = DeterministicImages()
+        example = jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+    state = create_train_state(model, variables, learning_rate=1e-3)
+    state_sh = train_state_shardings(state, mesh)
+    state = jax.device_put(state, state_sh)
+    if mp > 1 and jax.process_count() > 1:
+        # prove the check is real: some gate-conv shard must live on the
+        # OTHER process (otherwise no tp collective would cross Gloo)
+        assert any(
+            not leaf.is_fully_addressable
+            for leaf in jax.tree.leaves(state.params)
+        ), "no param sharded across the process boundary"
+
+    train_step = make_train_step(
+        mse_per_sample, mesh=mesh, preprocess=u8_normalize,
+        state_shardings=state_sh,
+    )
     loader = DistributedLoader(
-        DeterministicImages(),
+        dataset,
         batch_size=BATCH_SIZE,
         mesh=mesh,
         shuffle=True,
@@ -130,10 +200,16 @@ def run_worker(args) -> None:
 
     out = Path(args.out)
     ckpt = out / "ckpt" / "proc0_model.ckpt"
+    # Under tp the gate-conv params are sharded over 'model' (columns of
+    # which live on the OTHER process in the interleaved layout), so an
+    # explicit all-gather to replicated must precede host fetch — this
+    # collective itself crosses Gloo in the tp check.
+    gather = jax.jit(lambda p: p, out_shardings=replicate_sharding(mesh))
+    params_host = to_host_tree(gather(state.params))
     if jax.process_index() == 0:
         save_checkpoint(
             ckpt,
-            {"params": to_host_tree(state.params), "losses": losses},
+            {"params": params_host, "losses": losses},
         )
     if args.num_processes > 1:
         from jax.experimental import multihost_utils
@@ -185,9 +261,16 @@ def _worker_env(local_devices: int) -> dict:
 
 
 def launch(processes: int = 2, local_devices: int = 4, steps: int = 2,
-           out_dir: str | None = None, timeout: float = 600.0) -> dict:
+           out_dir: str | None = None, timeout: float = 600.0,
+           model_parallel: int = 1) -> dict:
     """Spawn the multi-process run plus a single-process control run and
-    assert their loss trajectories match.  Returns the comparison record."""
+    assert their loss trajectories match.  Returns the comparison record.
+
+    ``model_parallel > 1`` switches to the cross-process tensor-parallel
+    check: the video model's gate convs shard over a 'model' axis whose
+    groups are interleaved across the two processes, so the tp
+    collectives (psum in backward, all-gather at checkpoint) cross Gloo.
+    """
     out = Path(out_dir or tempfile.mkdtemp(prefix="vad_mp_"))
     out.mkdir(parents=True, exist_ok=True)
     (out / "ckpt").mkdir(exist_ok=True)
@@ -200,6 +283,7 @@ def launch(processes: int = 2, local_devices: int = 4, steps: int = 2,
             "--num-processes", str(num_processes),
             "--local-devices", str(local_devices),
             "--coordinator-port", str(port),
+            "--model-parallel", str(model_parallel),
             "--steps", str(steps), "--out", str(sub),
         ]
 
@@ -254,6 +338,7 @@ def launch(processes: int = 2, local_devices: int = 4, steps: int = 2,
     result = {
         "processes": processes,
         "local_devices": local_devices,
+        "model_parallel": model_parallel,
         "steps": steps,
         "multiproc_losses": records[0]["losses"],
         "singleproc_losses": control["losses"],
@@ -271,13 +356,15 @@ def main() -> None:
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--coordinator-port", type=int, default=0)
     ap.add_argument("--processes", type=int, default=2)
+    ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.worker:
         run_worker(args)
     else:
-        launch(args.processes, args.local_devices, args.steps, args.out)
+        launch(args.processes, args.local_devices, args.steps, args.out,
+               model_parallel=args.model_parallel)
 
 
 if __name__ == "__main__":
