@@ -289,7 +289,7 @@ def main() -> None:
         ceiling, and e2e/decode_only is the achieved overlap fraction.
         """
         from vad_tpu.data.synthetic import create_synthetic_video_file
-        from vad_tpu.eval.video_render import iter_video_chunks
+        from vad_tpu.eval.video_render import iter_device_chunks, iter_video_chunks
         from vad_tpu.ops.convlstm_pallas import preferred_backend
 
         path = "/tmp/vad_bench_720p_e2e.mp4"
@@ -325,11 +325,111 @@ def main() -> None:
         states = zero
         n_scored = 0
         t0 = time.time()
-        for buf, n_valid in iter_video_chunks(path, chunk_t, image_size):
-            s, states = step(variables, jnp.asarray(buf[None]), states)
+        # iter_device_chunks stages the host->device copy on its own
+        # thread (round-4 weak #3: the synchronous per-chunk transfer
+        # through the remote-TPU tunnel was most of the non-decode wall)
+        for _, dev, n_valid in iter_device_chunks(path, chunk_t, image_size):
+            s, states = step(variables, dev, states)
             n_scored += n_valid
         np.asarray(s)  # final fetch = barrier; per-chunk dispatch is async
         wall = time.time() - t0
+        assert n_scored == n_dec
+        return n_scored / wall, n_dec / decode_s
+
+    def measure_e2e_multistream(n_streams: int = 4, n_frames: int = 256,
+                                chunk_t: int = 16):
+        """End-to-end N-STREAM system throughput: N distinct mp4 files
+        decoded concurrently (N cv2 threads on this 1-core host), their
+        chunks batched into one [N, T, H, W, 3] device step that carries
+        N independent ConvLSTM states — the multi-camera serving question
+        BENCH's device-pipeline headline deliberately excludes the host
+        from (round-4 VERDICT directive #3: how many real mp4 streams
+        does this host+chip sustain?).
+
+        Returns (aggregate_fps, aggregate_decode_only_fps).  The second
+        number is the same N concurrent decoders with no device work —
+        the host ceiling; device capability is ~18k f/s (headline), so
+        whenever aggregate_fps approaches the ceiling the named
+        bottleneck is host decode, not the chip.
+        """
+        import queue as queue_mod
+        import threading
+
+        from vad_tpu.data.synthetic import create_synthetic_video_file
+        from vad_tpu.eval.video_render import iter_video_chunks
+        from vad_tpu.ops.convlstm_pallas import preferred_backend
+
+        paths = []
+        for i in range(n_streams):
+            p = f"/tmp/vad_bench_720p_ms{i}.mp4"
+            create_synthetic_video_file(p, n_frames=n_frames, image_size=720, seed=i)
+            paths.append(p)
+
+        def make_iters():
+            return [iter_video_chunks(p, chunk_t, image_size) for p in paths]
+
+        # aggregate decode-only ceiling: N concurrent decode threads
+        t0 = time.time()
+        n_dec = 0
+        for parts in zip(*make_iters()):
+            n_dec += sum(nv for _, nv in parts)
+        decode_s = time.time() - t0
+
+        model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128))
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 2, image_size, image_size, 3)), train=False
+        )
+        variables = cast_floating(variables, dtype)
+
+        def scoring_step(v, u8_chunk, states):
+            x = u8_chunk.astype(dtype) / jnp.asarray(127.5, dtype) - jnp.asarray(1.0, dtype)
+            _, _, frame_scores, new_states = model.apply(
+                v, x, states, method=VideoAutoencoder.stream_step
+            )
+            return frame_scores.astype(jnp.float32), new_states
+
+        step = jax.jit(scoring_step)
+        zero = ConvLSTM.zero_state(
+            model.lstm_layers, n_streams, lat, lat, model.lstm_hidden_dim,
+            dtype=jnp.float32,
+        )
+        s, _ = step(
+            variables,
+            jnp.zeros((n_streams, chunk_t, image_size, image_size, 3), jnp.uint8),
+            zero,
+        )
+        np.asarray(s)  # compile barrier (outside the timed window)
+
+        # staged pipeline: N decoders -> stack+transfer thread -> dispatch
+        dq: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        sentinel = object()
+        err = []
+
+        def produce() -> None:
+            try:
+                for parts in zip(*make_iters()):
+                    bufs = np.stack([b for b, _ in parts])
+                    dq.put((jax.device_put(bufs), sum(nv for _, nv in parts)))
+            except BaseException as e:  # noqa: BLE001
+                err.append(e)
+            finally:
+                dq.put(sentinel)
+
+        threading.Thread(target=produce, daemon=True).start()
+        states = zero
+        n_scored = 0
+        t0 = time.time()
+        while True:
+            item = dq.get()
+            if item is sentinel:
+                break
+            dev, nv = item
+            s, states = step(variables, dev, states)
+            n_scored += nv
+        np.asarray(s)  # final fetch = barrier
+        wall = time.time() - t0
+        if err:
+            raise err[0]
         assert n_scored == n_dec
         return n_scored / wall, n_dec / decode_s
 
@@ -445,6 +545,23 @@ def main() -> None:
         "value": round(e2e_fps, 1), "unit": "frames/s",
         "decode_only_fps": round(decode_fps, 1),
         "overlap_fraction": round(e2e_fps / decode_fps, 3),
+    }), flush=True)
+
+    # end-to-end, N real mp4 streams (VERDICT r4 #3): the system-level
+    # serving number — aggregate fps across concurrent decoders and where
+    # it saturates (host cores vs device).
+    n_streams = 4
+    ms_fps, ms_decode_fps = measure_e2e_multistream(n_streams)
+    print(json.dumps({
+        "config": f"end-to-end {n_streams}-stream mp4 (aggregate, decode included)",
+        "value": round(ms_fps, 1), "unit": "frames/s",
+        "n_streams": n_streams,
+        "decode_only_fps": round(ms_decode_fps, 1),
+        "overlap_fraction": round(ms_fps / ms_decode_fps, 3),
+        "bottleneck": (
+            "host decode (1 core)" if ms_fps / ms_decode_fps >= 0.8
+            else "host non-decode overhead"
+        ),
     }), flush=True)
 
     fps = max(results.values())

@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--pool", action="store_true")
     ap.add_argument("--backend", action="store_true")
     ap.add_argument("--f32", action="store_true", help="profile the f32 step")
+    ap.add_argument("--stem", default="pool", choices=["pool", "stride2"],
+                    help="encoder stem to profile (round-4 directive #4: "
+                    "attribute the stride2 step's remaining cost)")
     args = ap.parse_args()
 
     B, T, H = args.batch, args.chunk, args.size
@@ -95,7 +98,7 @@ def main() -> None:
     u8 = jnp.asarray(rng.integers(0, 255, size=(B, T, H, H, 3), dtype=np.uint8))
 
     backend = preferred_backend(lat, lat, 128)
-    model = VideoAutoencoder(backend=backend)
+    model = VideoAutoencoder(backend=backend, stem=args.stem)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 2, H, H, 3)), train=False
     )
@@ -174,7 +177,9 @@ def main() -> None:
                       "adam+bn_overhead_ms": round(t_step - rows[-1][3], 2)}),
           flush=True)
 
-    flops_fwd = 3.0115e9 * F  # bench.py::model_flops_per_frame
+    from bench import model_flops_per_frame
+
+    flops_fwd = model_flops_per_frame(H, stem=args.stem) * F
     print("\n| prefix | fwd ms (inc) | fwd+bwd ms (inc) | bwd/fwd |")
     print("|---|---|---|---|")
     for name, t_f, inc_f, t_g, inc_g in rows:
