@@ -92,6 +92,25 @@ def main() -> None:
     record("transfer-only (sync device_put)", n_tr, tr_s,
            f"{mb / tr_s:.0f} MB/s H2D through the tunnel")
 
+    # --- transfer-size sweep: is the ~100 MB/s RPC-overhead-bound? -----
+    sweep = []
+    for frames_per_put in (1, 4, 16, 64):
+        buf = np.ascontiguousarray(
+            np.repeat(chunks[0], max(1, frames_per_put // chunk_t), axis=0)
+        )[:frames_per_put]
+        d = jax.device_put(buf)
+        d.block_until_ready()  # warm
+        reps = max(2, 128 // frames_per_put)
+        t0 = time.time()
+        for _ in range(reps):
+            d = jax.device_put(buf)
+            d.block_until_ready()
+        dt = time.time() - t0
+        mbs = reps * buf.nbytes / 1e6 / dt
+        sweep.append((frames_per_put, buf.nbytes / 1e6, mbs))
+        print(f"device_put {frames_per_put:3d} frames ({buf.nbytes/1e6:6.1f} MB): "
+              f"{mbs:7.1f} MB/s", flush=True)
+
     # --- dispatch+compute-only (device pipeline) -----------------------
     model = VideoAutoencoder(backend=preferred_backend(lat, lat, 128))
     variables = model.init(
@@ -147,6 +166,14 @@ def main() -> None:
     staged_fps = record("e2e, STAGED transfer (round-5)", n, time.time() - t0,
                         "device_put on its own thread")
 
+    sweep_lines = [
+        "",
+        "Transfer-size sweep (is the H2D rate RPC-overhead-bound?):",
+        "",
+        "| frames/put | MB/put | MB/s |",
+        "|---|---|---|",
+    ] + [f"| {f} | {mb:.1f} | {mbs:.1f} |" for f, mb, mbs in sweep]
+
     lines = [
         "# End-to-end mp4 host-gap attribution (round 5)",
         "",
@@ -161,6 +188,7 @@ def main() -> None:
     ]
     for name, _f, _s, fps, note in rows:
         lines.append(f"| {name} | {fps:.1f} | {note} |")
+    lines += sweep_lines
     lines += [
         "",
         f"- overlap fraction, sync transfer (round-4 loop): "
