@@ -123,17 +123,32 @@ def gen_fixtures(data_dir: Path) -> None:
         )
 
 
-def run(cmd, cwd, env_extra=None, check=True) -> tuple[str, float, int]:
+def run(cmd, cwd, env_extra=None, check=True, timeout=None) -> tuple[str, float, int]:
+    """Run a harness subprocess, capturing stdout+stderr.
+
+    ``timeout`` (seconds) guards against a hung remote-TPU tunnel: a
+    round-5 campaign lost a draw to an eval whose TCP connection to the
+    tunnel relay dropped mid-scoring — the client blocked on a futex
+    forever with the eval 99% complete.  A generous wall-clock bound
+    turns that silent hang into a retryable failure (rc=124).
+    """
     import os
 
     env = dict(os.environ)
     if env_extra:
         env.update(env_extra)
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        cmd, cwd=cwd, env=env, check=check,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+    try:
+        proc = subprocess.run(
+            cmd, cwd=cwd, env=env, check=check,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as e:
+        out = e.output or ""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        return out, time.perf_counter() - t0, 124
     return proc.stdout, time.perf_counter() - t0, proc.returncode
 
 
@@ -260,7 +275,21 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path,
     ]
     print(f"[{side}/{fixture['name']}/draw{draw}] training: {' '.join(train_cmd)}",
           flush=True)
-    stdout, train_s, _ = run(train_cmd, cwd, env)
+    # one retry on failure/timeout: a dropped tunnel connection shows up
+    # as a hung (now timed-out) or crashed subprocess; a fresh process
+    # re-acquires the tunnel cleanly
+    for attempt in (1, 2):
+        stdout, train_s, train_rc = run(train_cmd, cwd, env, check=False,
+                                        timeout=7200)
+        if train_rc == 0:
+            break
+        print(f"[{side}/{fixture['name']}/draw{draw}] train attempt {attempt} "
+              f"failed (rc={train_rc})", flush=True)
+    if train_rc != 0:
+        raise RuntimeError(
+            f"{side}/{fixture['name']} training failed twice "
+            f"(rc={train_rc}):\n{stdout[-2000:]}"
+        )
     run_dir = find_run_dir(stdout)
     (results_dir / f"{fixture['name']}_train.log").write_text(stdout)
 
@@ -272,7 +301,13 @@ def run_side(side: str, fixture: dict, data_dir: Path, out_dir: Path,
     # check=False: the unmodified reference crashes in its own visualization
     # step at image-size 128 (evaluate_video.py:283 hardcodes a 256x256
     # heatmap) AFTER printing the AUROC; tolerate that and parse stdout.
-    eval_out, eval_s, eval_rc = run(eval_cmd, cwd, env, check=False)
+    for attempt in (1, 2):
+        eval_out, eval_s, eval_rc = run(eval_cmd, cwd, env, check=False,
+                                        timeout=1800)
+        if eval_rc == 0 or "AUROC" in eval_out:
+            break
+        print(f"[{side}/{fixture['name']}] eval attempt {attempt} failed "
+              f"(rc={eval_rc})", flush=True)
     (results_dir / f"{fixture['name']}_eval.log").write_text(eval_out)
     results_txt = run_dir / "evaluation" / "results.txt"
     if eval_rc != 0 and "AUROC" not in eval_out:

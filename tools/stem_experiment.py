@@ -149,7 +149,17 @@ def run_fixture_draw(fixture: dict, data_dir: Path, out_dir: Path, seed: int) ->
         "--data-dir", str(data_dir), "--results-dir", str(results_dir),
     ]
     print(f"[stride2/{fixture['name']}/seed{seed}] training", flush=True)
-    stdout, train_s, _ = run(train_cmd, REPO, None)
+    # timeout + one retry: a dropped remote-TPU tunnel connection hangs
+    # the client forever (round-5 campaign incident); a fresh process
+    # re-acquires the tunnel cleanly
+    for attempt in (1, 2):
+        stdout, train_s, rc = run(train_cmd, REPO, None, check=False, timeout=7200)
+        if rc == 0:
+            break
+        print(f"[stride2/{fixture['name']}/seed{seed}] train attempt {attempt} "
+              f"failed (rc={rc})", flush=True)
+    if rc != 0:
+        raise RuntimeError(f"stride2 training failed twice:\n{stdout[-2000:]}")
     run_dir = find_run_dir(stdout)
     (results_dir / f"{fixture['name']}_train.log").write_text(stdout)
     eval_cmd = [
@@ -158,7 +168,12 @@ def run_fixture_draw(fixture: dict, data_dir: Path, out_dir: Path, seed: int) ->
         "--data-dir", str(data_dir),
     ]
     print(f"[stride2/{fixture['name']}/seed{seed}] evaluating", flush=True)
-    eval_out, eval_s, _ = run(eval_cmd, REPO, None)
+    for attempt in (1, 2):
+        eval_out, eval_s, rc = run(eval_cmd, REPO, None, check=False, timeout=1800)
+        if rc == 0 or "AUROC" in eval_out:
+            break
+        print(f"[stride2/{fixture['name']}/seed{seed}] eval attempt {attempt} "
+              f"failed (rc={rc})", flush=True)
     (results_dir / f"{fixture['name']}_eval.log").write_text(eval_out)
     return {
         "fixture": fixture["name"],
