@@ -199,7 +199,7 @@ def render(summary: dict) -> None:
     parity = json.loads(PARITY_DRAWS.read_text())["runs"]
     micro = summary.get("micro", {})
     lines = [
-        "# Stride-2 stem: measured (round 4)",
+        "# Stride-2 stem: measured (round 4; AUROC re-measured round 5)",
         "",
         "The round-3 training-step profiles (COMPONENTS.md) closed both hot",
         "costs at the kernel level but noted they exist only because the",
@@ -227,7 +227,13 @@ def render(summary: dict) -> None:
         "## AUROC at the parity budget",
         "",
         "Same fixtures/budgets/seeds as results/parity_vs_reference; pool",
-        "numbers are the committed vad parity draws.",
+        "numbers are the committed vad parity draws.  Procedure provenance:",
+        "the image-fixture stride2 draws (synthetic, textured) were",
+        "re-measured in round 5 under the shipped tail-batch trainer",
+        "(results/experiments/tail_batch_procedure.md), matching the",
+        "post-fix pool/reference cells; the video-fixture draws are",
+        "procedure-invariant (both sequence counts divide the batch size,",
+        "so no tail batch ever existed — 44 % 4 == 92 % 4 == 0).",
         "",
         "| fixture | pool stem | stride2 stem | reference (torch) |",
         "|---|---|---|---|",
@@ -248,6 +254,31 @@ def render(summary: dict) -> None:
             + ", ".join(f"{k} {sum(v)/len(v):.0f}s" for k, v in times.items())
             + " (pool-stem walls are in results/parity_vs_reference/README.md).",
         ]
+    # data-driven accuracy comparison: stride2 mean minus pool mean per
+    # fixture, on whatever draws the summary + parity table currently hold
+    deltas = []
+    for f in FIXTURES:
+        name = f["name"]
+        pool = [r["auroc"] for r in parity if r["side"] == "vad_tpu" and r["fixture"] == name]
+        s2 = [r["auroc"] for r in summary["runs"] if r["fixture"] == name]
+        if pool and s2:
+            deltas.append((name, sum(s2) / len(s2) - sum(pool) / len(pool)))
+    delta_txt = ", ".join(f"{n} {d:+.4f}" for n, d in deltas)
+    at_or_near = all(d >= -0.02 for _, d in deltas)
+    # statistical context for any meaningful negative delta: compare it
+    # to the pool cell's own half-range so a draw-noise-sized gap is not
+    # overclaimed as a real stem cost
+    spread_notes = []
+    for name, d in deltas:
+        if d < -0.02:
+            pool = [r["auroc"] for r in parity
+                    if r["side"] == "vad_tpu" and r["fixture"] == name]
+            half = (max(pool) - min(pool)) / 2 if len(pool) > 1 else 0.0
+            rel = "inside" if abs(d) <= half else "OUTSIDE"
+            spread_notes.append(
+                f"{name}: delta {d:+.4f} is {rel} the pool cell's own "
+                f"half-range (±{half:.4f})"
+            )
     lines += [
         "",
         "## Conclusion",
@@ -257,13 +288,25 @@ def render(summary: dict) -> None:
         "where the profiles predicted: no 256²x32 materialization in the",
         "forward (scoring 1.67x here; 1.88x at bench.py's 16-stream config,",
         "35.2k vs 18.7k frames/s, MFU 0.321 vs 0.286) and no",
-        "select-and-scatter pool backward (training 2.15x).  Accuracy at",
-        "the parity budget is AT OR ABOVE the pool stem on three of four",
-        "fixtures (textured +0.08, textured_video +0.02, video_synthetic",
-        "saturated-equal) and within half-ranges on the fourth (synthetic",
-        "0.945 vs 0.962).  The pool stem stays the default for reference",
-        "checkpoint compatibility; `--stem stride2` is the recommended",
-        "configuration for new training on TPU.",
+        "select-and-scatter pool backward (training 2.15x).",
+        "",
+        "Accuracy vs the pool stem, stride2 mean minus pool mean per",
+        f"fixture (positive = stride2 better): {delta_txt}.",
+        *([""] + [f"Draw-noise context — {n}." for n in spread_notes]
+          + ["A delta inside the pool cell's own half-range may be draw",
+             "noise at these draw counts; the recommendation below adopts",
+             "the conservative read (treat it as a possible real cost)."]
+          if spread_notes else []),
+        "",
+        "The pool stem stays the default for reference checkpoint",
+        "compatibility; `--stem stride2` "
+        + ("remains the recommended configuration for new training on TPU "
+           "(at or within 0.02 of the pool stem everywhere measured, at "
+           "2.15x the training throughput)."
+           if at_or_near else
+           "is recommended for throughput-bound deployments only: it gives "
+           "up measurable AUROC on at least one fixture (see deltas above), "
+           "so accuracy-critical training should keep the pool stem."),
         "",
         "Raw draws: stem_draws.json next to this file.  Reproduce:",
         "`python tools/stem_experiment.py --work-dir /tmp/stem`.",
