@@ -27,12 +27,14 @@ Usage: python tools/pallas_decision.py  (real TPU, ~10 min)
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))  # vad_tpu imports when run from anywhere
 RECORD = REPO / "results" / "experiments" / "pallas_decision.md"
 
 IMAGE_SIZE = 256
@@ -64,11 +66,14 @@ def main() -> None:
 
     def measure_recurrence(backend: str, streams: int, t: int) -> float:
         """us per (stream x frame) for the 2-layer ConvLSTM alone."""
-        lstm = ConvLSTM(hidden_dim=HIDDEN, num_layers=2, backend=backend)
+        lstm = ConvLSTM(input_dim=HIDDEN, hidden_dim=HIDDEN, num_layers=2,
+                        backend=backend)
         x = jnp.asarray(
             rng.standard_normal((streams, t, LAT, LAT, HIDDEN)), dtype
         )
-        variables = lstm.init(jax.random.key(0), x[:, :2])
+        # init in f32 (fresh params are f32; bf16 input would hit a conv
+        # dtype mismatch), then cast params down to the serving precision
+        variables = lstm.init(jax.random.key(0), x[:, :2].astype(jnp.float32))
         variables = cast_floating(variables, dtype)
         state = {"s": None}
 

@@ -25,12 +25,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))  # vad_tpu imports when run from anywhere
 RECORD = REPO / "results" / "experiments" / "e2e_host_gap.md"
 
 

@@ -97,7 +97,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     u8 = jnp.asarray(rng.integers(0, 255, size=(B, T, H, H, 3), dtype=np.uint8))
 
-    backend = preferred_backend(lat, lat, 128)
+    backend = preferred_backend(lat, lat, 128, context="training")
     model = VideoAutoencoder(backend=backend, stem=args.stem)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 2, H, H, 3)), train=False

@@ -48,20 +48,31 @@ def pallas_supported(height: int, width: int, channels: int) -> bool:
     return channels % 128 == 0 and (height * width) % 8 == 0
 
 
-def preferred_backend(height: int, width: int, channels: int) -> str:
-    """'pallas' on TPU when the latent-map shape fits the fused kernel,
-    else 'xla' (also the answer on CPU/GPU, where Mosaic can't compile).
+def preferred_backend(height: int, width: int, channels: int,
+                      context: str = "serving") -> str:
+    """Pick the recurrence backend for the given latent shape and context.
 
-    Measured on v5e: training steps ~5% faster than the XLA scan end to
-    end (217 vs 229 ms at B=4, T=16, 256^2) and compile several times
-    faster, with identical loss trajectories.  On the serving path the
-    batch-folded bf16 kernel runs the recurrence 1.10x faster than the
-    scan (905 vs 992 us at B=16, T=16, dispatch-amortized); end-to-end
-    serving throughput is encoder-dominated and backend-neutral.
+    ``context='serving'`` returns 'xla': the round-5 decision grid
+    (results/experiments/pallas_decision.md, tools/pallas_decision.py)
+    measured the fused kernel's best FULL-scoring-step win at 1.017x
+    across (streams, T) in {4..32}x{16..128} — under the 5% bar set for
+    keeping a 630-LoC custom kernel on the default path.  The serving
+    step is encoder-dominated; the recurrence the kernel accelerates
+    (up to 1.31x in isolation at S=32, T=16) is too small a slice.
+    The kernel stays shipped, tested (tests/test_pallas_convlstm.py),
+    and selectable via ``backend='pallas'``.
+
+    ``context='training'`` returns 'pallas' on TPU where the shape fits:
+    training steps measured ~5% faster than the XLA scan end to end
+    (217 vs 229 ms at B=4, T=16, 256^2 — round 3) and compile several
+    times faster, with identical loss trajectories (custom VJP).
+
+    On CPU/GPU (no Mosaic) the answer is always 'xla'.
     """
     import jax
 
-    if jax.default_backend() == "tpu" and pallas_supported(height, width, channels):
+    if (context == "training" and jax.default_backend() == "tpu"
+            and pallas_supported(height, width, channels)):
         return "pallas"
     return "xla"
 

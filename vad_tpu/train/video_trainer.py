@@ -96,7 +96,7 @@ def train(args: Any) -> Dict[str, Any]:
     from vad_tpu.ops.convlstm_pallas import preferred_backend
 
     lat = args.image_size // 16
-    backend = preferred_backend(lat, lat, args.lstm_hidden_dim)
+    backend = preferred_backend(lat, lat, args.lstm_hidden_dim, context="training")
     if backend == "pallas":
         print("ConvLSTM backend: fused Pallas kernel")
     model = VideoAutoencoder(
