@@ -205,6 +205,23 @@ def main() -> None:
         "decode, transfer, and device compute overlap.  Reproduce:",
         "`python tools/profile_e2e.py`.",
         "",
+        "Measured-and-rejected (round 5): slab-batched transfer.  The sweep",
+        "above shows the tunnel H2D path is RPC-overhead-bound (7→78 MB/s",
+        "from 1→64 frames per put), which motivated batching 4 chunks into",
+        "one 64-frame device_put sliced back out device-side.  In-process",
+        "A/B (512 frames, 3 reps each): slab=1 387/401/386 f/s stable,",
+        "slab=4 243/300/449 erratic — NO win.  The pipelined put is already",
+        "asynchronous to decode and compute, so the per-put overhead it",
+        "would amortize is off the critical path, while the accumulate+burst",
+        "adds pipeline stalls (and the consumer prefetch queue back-pressure",
+        "amplifies them).  The simple per-chunk staged put stays.",
+        "",
+        "Caveat on absolute numbers: tunnel throughput drifts run to run",
+        "(the same decode-only stage measured 743-849 f/s across round-5",
+        "sessions; identical training draws ranged 303-1100 s).  Only",
+        "within-run comparisons are load-bearing; the committed bench line",
+        "reports decode_only_fps alongside e2e for exactly this reason.",
+        "",
     ]
     RECORD.parent.mkdir(parents=True, exist_ok=True)
     RECORD.write_text("\n".join(lines))
